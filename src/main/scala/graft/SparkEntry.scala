@@ -1,13 +1,389 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.DeterministicGen
+import graft.gen.DeterministicGen.TranscriptSpec
+import graft.validate.Validator
+import graft.watermark.Watermarker
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with an equivalent DuckDB oracle in `oracleSql`.
+  *
+  * Column-name parity between the Spark result and the oracle SQL is part
+  * of the contract (the driver sorts columns by name before hashing), so
+  * every computed column is aliased identically on both sides, and every
+  * floating-point output is rounded to a fixed scale on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full guardian pipeline over a synthesized transcript
+    * table — generate → per-turn watermark embed → per-conversation verify
+    * joined with session stats. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val spec = TranscriptSpec(nConvs = 200, turnsPerConv = 24, seed = 42)
+    val turns = DeterministicGen.transcripts(spark, spec)
+    val embedded = Watermarker.embedTurnTs(turns, "WM01")
+    val verified = Watermarker.verifyTurnTsPerConv(embedded, "WM01")
+    val sessions = embedded
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"), min("ts").as("first_ts"), max("ts").as("last_ts"))
+    verified.join(sessions, "conv_id").filter(col("verified"))
+  }
+
+  // ---- expected-range constants shared between Spark and oracle sides ----
+  private val qtyLo = 1.0; private val qtyHi = 50.0; private val tol = 0.15
+  private val qtyMinBound = qtyLo - (qtyHi - qtyLo) * tol // -6.35
+  private val qtyMaxBound = qtyHi + (qtyHi - qtyLo) * tol // 57.35
+
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val piiPhoneRe = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+  private val stopwordRe = "\\b(the|a|of|and|to|in|is)\\b"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1+V2+V3: per-group one-pass distribution stats + range verdicts
+    // (validator.py:18-39) — min/max/mean/sample-std with the n<2 ⇒ 0.0 shim.
+    "v_column_stats" -> ((s, dir) => {
+      val q = col("l_quantity")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(q).as("actual_min"),
+          max(q).as("actual_max"),
+          round(Validator.meanExpr(q), 5).as("actual_mean"),
+          round(Validator.stdExpr(q), 5).as("actual_std"),
+          count(lit(1)).as("n"))
+        .withColumn("min_ok", col("actual_min") >= qtyMinBound)
+        .withColumn("max_ok", col("actual_max") <= qtyMaxBound)
+        .withColumn("valid", col("min_ok") && col("max_ok"))
+    }),
+
+    // V6: whole-dataset validation report (validator.py:74-98), flattened —
+    // every statistic of every checked column in ONE aggregation pass.
+    "v_validate_dataset" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import graft.model.ColumnSpec
+      val specs = Seq(
+        ColumnSpec("l_quantity", 0, 60), ColumnSpec("l_extendedprice", 0, 120000))
+      val rep = Validator.reportDF(li, specs)
+      rep.select(
+        col("record_count"),
+        col("valid"),
+        col("l_quantity")("valid").as("quantity_valid"),
+        col("l_quantity")("actual_min").as("quantity_min"),
+        col("l_quantity")("actual_max").as("quantity_max"),
+        round(col("l_quantity")("actual_mean"), 5).as("quantity_mean"),
+        round(col("l_quantity")("actual_std"), 5).as("quantity_std"),
+        col("l_extendedprice")("valid").as("price_valid"),
+        col("l_extendedprice")("actual_min").as("price_min"),
+        col("l_extendedprice")("actual_max").as("price_max"),
+        round(col("l_extendedprice")("actual_mean"), 5).as("price_mean"),
+        round(col("l_extendedprice")("actual_std"), 5).as("price_std"))
+    }),
+
+    // V4: Pearson r with the n<2 / zero-variance ⇒ 0.0 shims
+    // (validator.py:42-52); corr_const exercises the zero-variance path.
+    "v_corr" -> ((s, dir) => {
+      t(s, dir, "customer").agg(
+        round(Validator.corrExpr(col("c_custkey"), col("c_acctbal")), 6)
+          .as("corr_custkey_acctbal"),
+        round(Validator.corrExpr(col("c_acctbal"), lit(1.0)), 6).as("corr_const"))
+    }),
+
+    // V5: correlation preserved between original and synthetic pair
+    // (validator.py:55-71); synthetic = even-orderkey half of the table.
+    "v_corr_preserved" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = li.agg(
+        Validator.corrExpr(col("l_quantity"), col("l_extendedprice")).as("oc"))
+      val sy = li.filter(pmod(col("l_orderkey"), lit(2)) === 0).agg(
+        Validator.corrExpr(col("l_quantity"), col("l_extendedprice")).as("sc"))
+      o.crossJoin(sy).select(
+        round(col("oc"), 6).as("original_correlation"),
+        round(col("sc"), 6).as("synthetic_correlation"),
+        round(abs(col("oc") - col("sc")), 6).as("delta"),
+        (abs(col("oc") - col("sc")) <= 0.3).as("preserved"))
+    }),
+
+    // W1: _embed_bits as a pure per-row expression (watermark.py:5-10),
+    // bits derived from the row keys.
+    "w_embed_bits" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        Watermarker.embedBitsExpr(
+          col("l_quantity"),
+          pmod(col("l_orderkey"), lit(2L)),
+          pmod(col("l_suppkey"), lit(2L))).as("wm_value"))
+    }),
+
+    // W2: _extract_bits (watermark.py:13-16).
+    "w_extract_bits" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        Watermarker.extractB0(col("l_quantity")).as("b0"),
+        Watermarker.extractB1(col("l_quantity")).as("b1"))
+    }),
+
+    // W3+W4+W5: full embed → extract → verify round-trip over the ordered
+    // row prefix (watermark.py:19-77). One result row.
+    "w_roundtrip" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) alone is not unique in the testdata, so
+      // the ordering key is widened until total — position must be
+      // deterministic for the bit stream to round-trip.
+      val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+      val wm = "WM01"
+      val embedded = Watermarker.embed(t(s, dir, "lineitem"), wm, "l_quantity", keys)
+      val extracted = Watermarker.extract(embedded, wm.length, "l_quantity", keys)
+      import s.implicits._
+      Seq((wm, extracted, extracted == wm))
+        .toDF("expected", "extracted", "verified")
+    }),
+
+    // Streaming-shape op on batch data: tumbling event-time window
+    // (the drift-window aggregate of the north star, batch-checkable).
+    "s_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 5).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("n_events"), col("sum_value"))
+    }),
+
+    // Sliding window: 1 hour size, 15 minute slide (4 windows per event).
+    "s_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 5).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("n_events"), col("sum_value"))
+    }),
+
+    // Session window per user with a 30-minute gap (the per-conversation
+    // session window of the north star, keyed on user_id here).
+    "s_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 5).as("sum_value"))
+        .select(
+          col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"),
+          col("sum_value"))
+    }),
+
+    // Exact deduplication: hash-aggregate on content, keep first id.
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
+    // PII regex scan (north-star stateless validator stage).
+    "pii_scan" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        col("text").rlike(piiEmailRe).as("has_email"),
+        col("text").rlike(piiSsnRe).as("has_ssn"),
+        col("text").rlike(piiPhoneRe).as("has_phone"))
+    }),
+
+    // Text quality scoring: token count, punctuation, stopword ratio.
+    "text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      val nTokens = size(split(trim(txt), "\\s+"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(txt).as("n_chars_calc"),
+        nTokens.as("n_tokens"),
+        regexp_count(txt, lit("[.,!?;:]")).as("n_punct"),
+        regexp_count(lower(txt), lit(stopwordRe)).as("n_stopwords"),
+        round(length(regexp_replace(txt, "\\s", "")).cast("double") /
+          greatest(nTokens, lit(1)), 5).as("avg_token_len"))
+    }),
+
+    // Brute-force cosine top-k over the embedding column (the ANN baseline;
+    // double-precision, index-ordered dot products on both sides).
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"),
+          round(
+            expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+              (sqrt(expr("aggregate(e, 0D, (a, x) -> a + x * x)")) *
+                sqrt(expr("aggregate(qe, 0D, (a, x) -> a + x * x)"))),
+            6).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(10)
+    }))
+
+  /** DuckDB-equivalent SQL per query; identical aliases and rounding. */
+  def oracleSql: Map[String, String] = Map(
+    "v_column_stats" ->
+      s"""SELECT l_returnflag,
+         | min(l_quantity) AS actual_min,
+         | max(l_quantity) AS actual_max,
+         | round(coalesce(avg(l_quantity), 0), 5) AS actual_mean,
+         | round(coalesce(stddev_samp(l_quantity), 0), 5) AS actual_std,
+         | count(*) AS n,
+         | (min(l_quantity) >= $qtyMinBound) AS min_ok,
+         | (max(l_quantity) <= $qtyMaxBound) AS max_ok,
+         | (min(l_quantity) >= $qtyMinBound AND max(l_quantity) <= $qtyMaxBound) AS valid
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "v_validate_dataset" ->
+      """SELECT count(*) AS record_count,
+        | (min(l_quantity) >= -9.0 AND max(l_quantity) <= 69.0
+        |  AND min(l_extendedprice) >= -18000.0 AND max(l_extendedprice) <= 138000.0) AS valid,
+        | (min(l_quantity) >= -9.0 AND max(l_quantity) <= 69.0) AS quantity_valid,
+        | min(l_quantity) AS quantity_min,
+        | max(l_quantity) AS quantity_max,
+        | round(coalesce(avg(l_quantity), 0), 5) AS quantity_mean,
+        | round(coalesce(stddev_samp(l_quantity), 0), 5) AS quantity_std,
+        | (min(l_extendedprice) >= -18000.0 AND max(l_extendedprice) <= 138000.0) AS price_valid,
+        | min(l_extendedprice) AS price_min,
+        | max(l_extendedprice) AS price_max,
+        | round(coalesce(avg(l_extendedprice), 0), 5) AS price_mean,
+        | round(coalesce(stddev_samp(l_extendedprice), 0), 5) AS price_std
+        |FROM lineitem""".stripMargin,
+
+    "v_corr" ->
+      """SELECT
+        | round(coalesce(corr(c_custkey, c_acctbal), 0), 6) AS corr_custkey_acctbal,
+        | round(coalesce(corr(c_acctbal, 1.0), 0), 6) AS corr_const
+        |FROM customer""".stripMargin,
+
+    "v_corr_preserved" ->
+      """WITH o AS (SELECT coalesce(corr(l_quantity, l_extendedprice), 0) AS oc FROM lineitem),
+        | s AS (SELECT coalesce(corr(l_quantity, l_extendedprice), 0) AS sc
+        |        FROM lineitem WHERE l_orderkey % 2 = 0)
+        |SELECT round(oc, 6) AS original_correlation,
+        |       round(sc, 6) AS synthetic_correlation,
+        |       round(abs(oc - sc), 6) AS delta,
+        |       (abs(oc - sc) <= 0.3) AS preserved
+        |FROM o, s""".stripMargin,
+
+    "w_embed_bits" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(((CAST(round(l_quantity) AS BIGINT) & -4)
+        |   | ((l_suppkey % 2) << 1) | (l_orderkey % 2)) AS DOUBLE) AS wm_value
+        |FROM lineitem""".stripMargin,
+
+    "w_extract_bits" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (CAST(round(l_quantity) AS BIGINT) & 1) AS b0,
+        | ((CAST(round(l_quantity) AS BIGINT) >> 1) & 1) AS b1
+        |FROM lineitem""".stripMargin,
+
+    "w_roundtrip" -> wRoundtripOracle("WM01"),
+
+    "s_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        | count(*) AS n_events, round(sum(value), 5) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "s_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS wstart,
+        | count(*) AS n_events, round(sum(value), 5) AS sum_value
+        |FROM events, (VALUES (0), (1), (2), (3)) AS k(k)
+        |GROUP BY 1""".stripMargin,
+
+    "s_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d
+        |)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 5) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "pii_scan" ->
+      s"""SELECT doc_id,
+         | regexp_matches(text, '$piiEmailRe') AS has_email,
+         | regexp_matches(text, '$piiSsnRe') AS has_ssn,
+         | regexp_matches(text, '$piiPhoneRe') AS has_phone
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | length(text) AS n_chars_calc,
+         | len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         | len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         | len(regexp_extract_all(lower(text), '$stopwordRe')) AS n_stopwords,
+         | round(length(regexp_replace(text, '\\s', '', 'g')) /
+         |   greatest(len(string_split_regex(trim(text), '\\s+')), 1), 5) AS avg_token_len
+         |FROM documents""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qe) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** Full SQL restatement of the watermark round-trip, bits inlined from
+    * the same codec the engine uses.
+    */
+  private def wRoundtripOracle(wm: String): String = {
+    val bits = Watermarker.bitsOf(wm)
+    val k = (bits.length + 1) / 2
+    val pairs = (0 until k).map { i =>
+      val b0 = bits(2 * i)
+      val b1 = if (2 * i + 1 < bits.length) bits(2 * i + 1) else 0
+      s"($i, $b0, $b1)"
+    }.mkString(", ")
+    val orderCols = "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice"
+    s"""WITH ord AS (
+       |  SELECT l_quantity AS v,
+       |    row_number() OVER (ORDER BY $orderCols) - 1 AS ordinal
+       |  FROM lineitem ORDER BY $orderCols LIMIT $k
+       |), bits(ordinal, b0, b1) AS (VALUES $pairs),
+       |emb AS (
+       |  SELECT o.ordinal,
+       |    ((CAST(round(o.v) AS BIGINT) & -4) | (b.b1 << 1) | b.b0) AS ev
+       |  FROM ord o JOIN bits b ON o.ordinal = b.ordinal
+       |), ext AS (
+       |  SELECT ordinal, (ev & 1) AS b0, ((ev >> 1) & 1) AS b1 FROM emb
+       |), bytes AS (
+       |  SELECT (ordinal // 4) AS byteidx,
+       |    sum(b0 * (1 << (7 - ((2 * ordinal) % 8)))
+       |      + b1 * (1 << (7 - ((2 * ordinal + 1) % 8)))) AS code
+       |  FROM ext GROUP BY 1
+       |), res AS (
+       |  SELECT string_agg(chr(CAST(code AS INTEGER)), '' ORDER BY byteidx) AS extracted
+       |  FROM bytes
+       |)
+       |SELECT '$wm' AS expected, extracted, (extracted = '$wm') AS verified FROM res""".stripMargin
+  }
 }
