@@ -205,7 +205,7 @@ object DeterministicGen {
     // an extra session gap every burstLen turns; monotone in turn_idx.
     val convOffset = pmod(h(seed, "convoff", conv), lit(86400L))
     val jitter = pmod(h(seed, "jitter", conv, ti), lit(math.max(stepSeconds - 1, 1L)))
-    val sessionJump = (ti / burstLen) * (sessionGapSeconds + stepSeconds)
+    val sessionJump = floor(ti / burstLen).cast("long") * (sessionGapSeconds + stepSeconds)
     val onTimeTs = lit(baseEpoch) + convOffset + ti * stepSeconds + sessionJump + jitter
     val hLate = h(seed, "late", conv, ti)
     val tsSec =

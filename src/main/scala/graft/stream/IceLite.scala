@@ -1,0 +1,164 @@
+package graft.stream
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.lineage.DataLineage
+
+/** IceLite — an Iceberg-emulating table layout: Parquet data files made
+  * visible only by atomically-published JSON manifests.
+  *
+  * The north rule requires an "Iceberg audit sink with per-partition
+  * lineage manifests (conv_id-range, offsets, checkpoint epoch)" and
+  * exactly-once semantics. No Iceberg runtime jar exists in the offline
+  * sandbox (SURVEY.md §7.3), so this implements precisely the subset of
+  * Iceberg's contract the north star uses:
+  *
+  *  - data files land under `data/batch=<epoch>/` and are INVISIBLE to
+  *    readers until `manifests/manifest-<epoch>.json` is published with an
+  *    atomic rename — a crashed or duplicated `foreachBatch` invocation
+  *    leaves no visible trace;
+  *  - a manifest that already exists short-circuits the commit
+  *    (idempotent by batch id ⇒ exactly-once under Structured Streaming's
+  *    at-least-once `foreachBatch` retries);
+  *  - each manifest records per-partition lineage: partition id, row
+  *    count, conv_id min/max, plus the batch's lineage event log — any
+  *    output row is traceable to its source micro-batch by (epoch,
+  *    partition, conv_id range).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/batch=<epoch>/pid=<p>/part-*.parquet
+  *   <root>/manifests/manifest-<epoch %09d>.json
+  * }}}
+  */
+object IceLite {
+
+  private val mapper = new ObjectMapper()
+
+  final case class PartitionManifest(
+      pid: Int, rowCount: Long, convIdMin: String, convIdMax: String)
+  final case class Manifest(
+      batchId: Long,
+      datasetId: String,
+      rowCount: Long,
+      partitions: Seq[PartitionManifest],
+      lineageJson: String)
+
+  private def manifestPath(root: String, batchId: Long): Path =
+    Paths.get(root, "manifests", f"manifest-$batchId%09d.json")
+
+  def isCommitted(root: String, batchId: Long): Boolean =
+    Files.exists(manifestPath(root, batchId))
+
+  def committedBatches(root: String): Seq[Long] = {
+    val dir = Paths.get(root, "manifests")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  /** Idempotent exactly-once commit of one micro-batch. Returns false when
+    * the batch id was already committed (duplicate foreachBatch delivery).
+    *
+    * Partition binding: rows are stamped with `spark_partition_id()` and
+    * written `partitionBy("pid")`, so the per-partition stats in the
+    * manifest describe exactly the files under `pid=<p>/` — the
+    * (conv_id-range, epoch, partition) triple the north star requires.
+    * The stamped frame is persisted so stats and files come from one
+    * evaluation.
+    */
+  def commit(
+      df: DataFrame,
+      root: String,
+      batchId: Long,
+      lineage: DataLineage): Boolean = {
+    if (isCommitted(root, batchId)) return false
+    Files.createDirectories(Paths.get(root, "data"))
+    Files.createDirectories(Paths.get(root, "manifests"))
+
+    val stamped = df.withColumn("pid", spark_partition_id())
+    stamped.persist()
+    try {
+      val dataDir = Paths.get(root, "data", s"batch=$batchId").toString
+      stamped.write.mode("overwrite").partitionBy("pid").parquet(dataDir)
+      val stats = stamped
+        .groupBy(col("pid"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("conv_id")).as("cmin"),
+          max(col("conv_id")).as("cmax"))
+        .collect()
+        .map(r => PartitionManifest(
+          r.getAs[Int]("pid"), r.getAs[Long]("n"),
+          r.getAs[String]("cmin"), r.getAs[String]("cmax")))
+        .sortBy(_.pid)
+        .toSeq
+
+      writeManifest(root, Manifest(
+        batchId, lineage.datasetId, stats.map(_.rowCount).sum, stats, lineage.toJson))
+    } finally stamped.unpersist()
+  }
+
+  private def writeManifest(root: String, m: Manifest): Boolean = {
+    val node = mapper.createObjectNode()
+    node.put("batch_id", m.batchId)
+    node.put("dataset_id", m.datasetId)
+    node.put("row_count", m.rowCount)
+    val parts = node.putArray("partitions")
+    m.partitions.foreach { p =>
+      val pn = parts.addObject()
+      pn.put("pid", p.pid)
+      pn.put("row_count", p.rowCount)
+      pn.put("conv_id_min", p.convIdMin)
+      pn.put("conv_id_max", p.convIdMax)
+      pn.put("path", s"data/batch=${m.batchId}/pid=${p.pid}")
+    }
+    node.set[com.fasterxml.jackson.databind.JsonNode](
+      "lineage", mapper.readTree(m.lineageJson))
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+
+    val tmp = Paths.get(root, "manifests", s".tmp-${m.batchId}-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, json)
+    try {
+      // Atomic publish; loser of a publish race deletes its temp file.
+      Files.move(tmp, manifestPath(root, m.batchId), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  def readManifest(root: String, batchId: Long): Manifest = {
+    val node = mapper.readTree(Files.readString(manifestPath(root, batchId)))
+    val parts = node.get("partitions").elements().asScala.map { pn =>
+      PartitionManifest(
+        pn.get("pid").asInt(), pn.get("row_count").asLong(),
+        pn.get("conv_id_min").asText(), pn.get("conv_id_max").asText())
+    }.toSeq
+    Manifest(
+      node.get("batch_id").asLong(), node.get("dataset_id").asText(),
+      node.get("row_count").asLong(), parts,
+      mapper.writeValueAsString(node.get("lineage")))
+  }
+
+  /** Snapshot read: only manifest-listed batches are visible (uncommitted
+    * data directories are never listed). basePath makes batch/pid proper
+    * partition columns so partition pruning works on them.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val batches = committedBatches(root)
+    require(batches.nonEmpty, s"IceLite table at $root has no committed batches")
+    val dirs = batches.map(b => Paths.get(root, "data", s"batch=$b").toString)
+    spark.read
+      .option("basePath", Paths.get(root, "data").toString)
+      .parquet(dirs: _*)
+      .drop("pid", "batch")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.validate.Validator
+
+/** Windowed quality validators over the transcript stream — the streaming
+  * generalization of validate_column_distribution (validator.py:18-39):
+  * the same one-pass statistics, computed per event-time window so drift
+  * is visible over time. Works identically on batch and streaming frames
+  * (streaming callers add `withWatermark` first).
+  */
+object Windows {
+
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Stateless per-turn validator stage: PII flags + text quality columns.
+    * Pure codegen'd projection — runs before the sink on every turn.
+    */
+  def withQualityFlags(df: DataFrame): DataFrame = {
+    val txt = col("text")
+    df.withColumn("text_len", length(txt))
+      .withColumn("n_tokens", size(split(trim(txt), "\\s+")))
+      .withColumn("has_pii", txt.rlike(piiEmailRe) || txt.rlike(piiSsnRe))
+  }
+
+  private val qualityAggNames = Seq(
+    "n_turns", "len_min", "len_max", "len_mean", "len_std", "n_pii", "approx_convs")
+
+  private def qualityAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_turns"),
+    min(col("text_len")).as("len_min"),
+    max(col("text_len")).as("len_max"),
+    Validator.meanExpr(col("text_len")).as("len_mean"),
+    Validator.stdExpr(col("text_len")).as("len_std"),
+    sum(col("has_pii").cast("long")).as("n_pii"),
+    approx_count_distinct(col("conv_id")).as("approx_convs"))
+
+  /** Tumbling (slide = None) or sliding drift windows: per-window
+    * distribution stats of text length + PII counts. Map-side partial
+    * aggregation makes this a single shuffle of tiny partial states.
+    */
+  def driftWindows(df: DataFrame, size: String, slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("ts"), size, s)
+      case None => window(col("ts"), size)
+    }
+    withQualityFlags(df)
+      .groupBy(w.as("w"))
+      .agg(qualityAggs.head, qualityAggs.tail: _*)
+      .select(
+        (col("w.start").as("wstart") +: col("w.end").as("wend") +:
+          qualityAggNames.map(col)): _*)
+  }
+
+  /** Per-conversation session windows (gap on ts) with quality stats —
+    * the "session windows (gap on ts)" clause of the north star.
+    */
+  def sessionWindows(df: DataFrame, gap: String): DataFrame =
+    withQualityFlags(df)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        Validator.meanExpr(col("text_len")).as("len_mean"),
+        sum(col("has_pii").cast("long")).as("n_pii"))
+      .select(
+        col("conv_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_turns"), col("len_mean"), col("n_pii"))
+}

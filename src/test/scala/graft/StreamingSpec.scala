@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.gen.DeterministicGen
+import graft.gen.DeterministicGen.TranscriptSpec
+import graft.model.Turn
+import graft.stream._
+import graft.watermark.Watermarker
+
+/** Streaming suite: stateful dedup across micro-batches, late-row drop at
+  * the watermark, windowed drift aggregation, stream-stream provenance
+  * join vs its batch equivalent, and the exactly-once IceLite sink with
+  * checkpoint-resume output identity (BASELINE.json north_star).
+  *
+  * All streams are parquet file streams driven with Trigger.AvailableNow +
+  * maxFilesPerTrigger=1 so each file becomes one deterministic micro-batch.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Write each slice as one parquet file fNN.parquet under dir. */
+  private def writeBatches(dir: String, slices: Seq[DataFrame]): Unit =
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val staging = tmp(s"stage-$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, f"f$i%02d.parquet"))
+    }
+
+  private def turnsDF(spec: TranscriptSpec): DataFrame =
+    DeterministicGen.transcripts(spark, spec)
+
+  private def runFileStream(
+      sourceDir: String,
+      checkpoint: String,
+      transform: Dataset[Turn] => DataFrame,
+      queryName: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val src = spark.readStream.schema(GuardianStream.turnSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sourceDir)
+      .withWatermark("ts", watermarkDelay)
+      .as[Turn]
+    val q = transform(src).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  test("stateful dedup collapses replays across micro-batches") {
+    val base = turnsDF(TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 21))
+    // batch 0: turns 0..5 ; batch 1: turns 4..9 (turns 4,5 replayed)
+    val b0 = base.filter(col("turn_idx") <= 5)
+    val b1 = base.filter(col("turn_idx") >= 4)
+    val src = tmp("dedup-src")
+    writeBatches(src, Seq(b0, b1))
+
+    val out = runFileStream(src, tmp("dedup-ck"),
+      ds => DedupState.dedup(ds, salt = 4).toDF, "dedup_out",
+      watermarkDelay = "365 days")
+    assert(out.count() == base.count(), "each turn exactly once")
+    assert(out.select("conv_id", "turn_idx").distinct().count() == base.count())
+  }
+
+  test("late rows behind the watermark are dropped") {
+    val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
+      stepSeconds = 60, burstLen = 100)
+    val base = turnsDF(spec)
+    val maxTs = base.agg(max("ts")).collect()(0).getTimestamp(0)
+    // batch 1 carries one row 10 hours older than everything in batch 0
+    val lateTs = new java.sql.Timestamp(maxTs.getTime - 10L * 3600 * 1000)
+    val late = Seq(Turn("conv-late", 0, "user", "too late", "", lateTs)).toDF
+    val src = tmp("late-src")
+    writeBatches(src, Seq(base, late))
+
+    val out = runFileStream(src, tmp("late-ck"),
+      ds => DedupState.dedup(ds, salt = 4).toDF, "late_out",
+      watermarkDelay = "10 minutes")
+    assert(out.filter(col("conv_id") === "conv-late").count() == 0, "late row dropped")
+    assert(out.count() == base.count())
+  }
+
+  test("drift windows: streaming append equals batch on closed windows") {
+    val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 30, seed = 23,
+      stepSeconds = 120, burstLen = 1000)
+    val base = turnsDF(spec)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val b0 = base.filter(unix_timestamp(col("ts")) <= mid)
+    val b1 = base.filter(unix_timestamp(col("ts")) > mid)
+    val src = tmp("drift-src")
+    writeBatches(src, Seq(b0, b1))
+
+    val streamed = runFileStream(src, tmp("drift-ck"),
+      ds => Windows.driftWindows(ds.toDF, "10 minutes"), "drift_out",
+      watermarkDelay = "5 minutes")
+    val maxTs = base.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    val finalWmSec = maxTs - 5 * 60
+    val batch = Windows.driftWindows(base, "10 minutes")
+      .filter(unix_timestamp(col("wend")) <= finalWmSec)
+    // streaming appended exactly the closed windows
+    val s = streamed.select("wstart", "n_turns", "n_pii").collect()
+      .map(_.toString).toSet
+    val b = batch.select("wstart", "n_turns", "n_pii").collect()
+      .map(_.toString).toSet
+    assert(b.nonEmpty, "some windows closed")
+    assert(b.subsetOf(s), "every closed batch window appears in the stream output")
+  }
+
+  test("session windows per conversation match burst structure") {
+    val spec = TranscriptSpec(nConvs = 5, turnsPerConv = 20, seed = 24,
+      stepSeconds = 30, burstLen = 5, sessionGapSeconds = 3600)
+    val sessions = Windows.sessionWindows(turnsDF(spec), "30 minutes")
+    // 20 turns / burstLen 5 ⇒ 4 sessions per conversation
+    val perConv = sessions.groupBy("conv_id").count().collect()
+    assert(perConv.length == 5)
+    assert(perConv.forall(_.getAs[Long]("count") == 4))
+    assert(sessions.agg(sum("n_turns")).collect()(0).getLong(0) == spec.totalTurns)
+  }
+
+  test("stream-stream provenance join equals the batch join") {
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 12, seed = 25,
+      stepSeconds = 300, burstLen = 1000)
+    val raw = turnsDF(spec)
+    val gen = DeterministicGen.generatedTwin(raw, maxSkewSeconds = 60, seed = 25)
+
+    val batchResult = ProvenanceJoin.join(raw, gen, "2 minutes")
+    assert(batchResult.count() == spec.totalTurns, "every turn matches its twin")
+    assert(batchResult.filter(!col("text_match")).count() == 0)
+
+    val rawSrc = tmp("prov-raw"); val genSrc = tmp("prov-gen")
+    writeBatches(rawSrc, Seq(raw))
+    writeBatches(genSrc, Seq(gen))
+    def fileStream(dir: String) = spark.readStream
+      .schema(GuardianStream.turnSchema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+    val q = ProvenanceJoin.join(fileStream(rawSrc), fileStream(genSrc), "2 minutes")
+      .writeStream
+      .option("checkpointLocation", tmp("prov-ck"))
+      .outputMode("append")
+      .format("memory").queryName("prov_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("prov_out")
+    assert(streamed.count() == batchResult.count())
+    assert(streamed.exceptAll(batchResult).count() == 0)
+    assert(batchResult.exceptAll(streamed).count() == 0)
+  }
+
+  test("IceLite: atomic idempotent commits; only manifested batches visible") {
+    val root = tmp("icelite")
+    val df = turnsDF(TranscriptSpec(nConvs = 3, turnsPerConv = 5, seed = 26))
+    val lin = new graft.lineage.DataLineage("t")
+    assert(IceLite.commit(df, root, 0L, lin))
+    assert(!IceLite.commit(df, root, 0L, lin), "duplicate commit skipped")
+    assert(IceLite.commit(df.limit(4), root, 1L, lin))
+    assert(IceLite.committedBatches(root) == Seq(0L, 1L))
+    assert(IceLite.read(spark, root).count() == 15 + 4)
+    val m = IceLite.readManifest(root, 0L)
+    assert(m.rowCount == 15)
+    assert(m.partitions.map(_.rowCount).sum == 15)
+    assert(m.partitions.forall(p => p.convIdMin <= p.convIdMax))
+  }
+
+  test("end-to-end pipeline: exactly-once sink, resume from checkpoint is identical") {
+    val spec = TranscriptSpec(nConvs = 12, turnsPerConv = 16, seed = 27,
+      stepSeconds = 30, burstLen = 1000)
+    val base = turnsDF(spec)
+    val withDups = DeterministicGen.withDuplicates(base, dupPermille = 150, seed = 27)
+    // 4 time-ordered slices (so the watermark advances across batches)
+    val q1 = base.stat.approxQuantile("turn_idx", Array(0.25, 0.5, 0.75), 0.0)
+    val slices = Seq(
+      withDups.filter(col("turn_idx") <= q1(0)),
+      withDups.filter(col("turn_idx") > q1(0) && col("turn_idx") <= q1(1)),
+      withDups.filter(col("turn_idx") > q1(1) && col("turn_idx") <= q1(2)),
+      withDups.filter(col("turn_idx") > q1(2)))
+
+    def cfg(src: String, ck: String, sink: String) = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = ck, sinkDir = sink,
+      watermarkPayload = "WM01", watermarkDelay = "365 days",
+      salt = 4, maxFilesPerTrigger = Some(1), availableNow = true)
+
+    // Run A: uninterrupted over all 4 files
+    val srcA = tmp("e2e-srcA")
+    writeBatches(srcA, slices)
+    val cfgA = cfg(srcA, tmp("e2e-ckA"), tmp("e2e-sinkA"))
+    GuardianStream.start(spark, cfgA).awaitTermination()
+
+    // Run B: files 0-1, stop, then files 2-3 appear, resume from checkpoint
+    val srcB = tmp("e2e-srcB")
+    writeBatches(srcB, slices.take(2))
+    val cfgB = cfg(srcB, tmp("e2e-ckB"), tmp("e2e-sinkB"))
+    GuardianStream.start(spark, cfgB).awaitTermination()
+    // append remaining files with continuing indices
+    slices.drop(2).zipWithIndex.foreach { case (df, i) =>
+      val staging = tmp(s"stage-late-$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(srcB, f"f${i + 2}%02d.parquet"))
+    }
+    GuardianStream.start(spark, cfgB).awaitTermination()
+
+    val outA = IceLite.read(spark, cfgA.sinkDir)
+    val outB = IceLite.read(spark, cfgB.sinkDir)
+    // exactly-once: duplicates collapsed, each turn exactly once
+    assert(outA.count() == spec.totalTurns)
+    // resume identity: byte-identical row sets
+    assert(outA.exceptAll(outB).count() == 0)
+    assert(outB.exceptAll(outA).count() == 0)
+    // the embedded watermark survives the pipeline (every conversation has
+    // 16 turns = exactly the WM01 capacity)
+    val verified = Watermarker.verifyTurnTsPerConv(outA, "WM01")
+    assert(verified.filter(col("verified")).count() == 12)
+    // per-partition lineage manifests cover every committed row
+    val manifested = IceLite.committedBatches(cfgA.sinkDir)
+      .map(b => IceLite.readManifest(cfgA.sinkDir, b).rowCount).sum
+    assert(manifested == spec.totalTurns)
+  }
+}
