@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import graft.gen.DeterministicGen
+import graft.gen.DeterministicGen.TranscriptSpec
+import graft.stream._
+
+/** Scratch harness for locating the streaming bottleneck: runs pipeline
+  * variants and prints per-batch StreamingQueryProgress durations.
+  */
+object BenchDebug {
+  private val benchRoot = {
+    val p = java.nio.file.Paths.get("/dev/shm/graft-dbg")
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    Files.createDirectories(p)
+    p
+  }
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(benchRoot, prefix).toString
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.getOrElse("8").toInt
+    val variant = if (args.length > 1) args(1) else "full"
+    val shufMult = sys.env.getOrElse("DBG_SHUF_MULT", "1").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus * shufMult).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("DBG_MAX_PART_BYTES", (8 * 1024 * 1024).toString))
+      .config("spark.local.dir", sys.env.getOrElse("DBG_LOCAL_DIR", "/tmp"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("DBG_CODEC", "snappy"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val turns = if (args.length > 2) args(2).toLong else 2000000L
+    val spec = TranscriptSpec(
+      nConvs = turns / 40, turnsPerConv = 40, hotConvs = 4, hotTurns = 40000,
+      piiPermille = 20, seed = 42)
+    val srcDir = tmpDir("dbg-src")
+    DeterministicGen.transcripts(spark, spec)
+      .repartitionByRange(64, org.apache.spark.sql.functions.col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+    println(s"total=${spec.totalTurns} variant=$variant cpus=$cpus")
+
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"batch=${p.batchId} rows=${p.numInputRows} durations=${p.durationMs}")
+        p.stateOperators.foreach(so => println(
+          s"  state: rowsUpdated=${so.numRowsUpdated} keys=${so.numRowsTotal} commitMs=${so.allUpdatesTimeMs}/${so.commitTimeMs} mem=${so.memoryUsedBytes}"))
+      }
+    })
+
+    val trigFiles = sys.env.getOrElse("DBG_TRIG_FILES", "16").toInt
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = srcDir,
+      checkpointDir = tmpDir("dbg-ck"),
+      sinkDir = tmpDir("dbg-sink"),
+      maxFilesPerTrigger = Some(trigFiles), availableNow = true)
+    val src = spark.readStream.schema(GuardianStream.turnSchema)
+      .option("maxFilesPerTrigger", trigFiles)
+      .parquet(srcDir).withWatermark("ts", "10 minutes").as[graft.model.Turn]
+
+    val out: DataFrame = variant match {
+      case "scanonly" => src.toDF
+      case "flags" => Windows.withQualityFlags(
+        graft.watermark.Watermarker.embedTurnTs(src.toDF, "WM01"))
+      case "dedup" => DedupState.dedup(src).toDF
+      case _ => GuardianStream.transforms(src, cfg)
+    }
+    val t0 = System.nanoTime()
+    val q = out.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val c0 = System.nanoTime()
+        variant match {
+          case "full" => GuardianStream.processBatch(batch, batchId, cfg)
+          case "writeonly" =>
+            IceLite.writeData(
+              batch.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id()),
+              cfg.sinkDir, batchId)
+          case "writeflat" =>
+            batch.write.mode("overwrite")
+              .parquet(cfg.sinkDir + s"/flat-$batchId")
+          case _ => batch.write.mode("overwrite").format("noop").save()
+        }
+        println(f"  foreachBatch $batchId took ${(System.nanoTime() - c0) / 1e9}%.2f s")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"wall=$wall%.1f s tp=${spec.totalTurns / wall}%.0f turns/s")
+    spark.stop()
+  }
+}

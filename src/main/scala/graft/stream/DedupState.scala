@@ -10,11 +10,11 @@ import graft.model.Turn
   * Replays in an at-least-once transcript stream re-deliver whole turns;
   * a turn is a duplicate when its (turn_idx, text) was already seen for
   * its conversation. State is keyed on a SALTED key
-  * (conv_id, turn_idx mod salt) rather than conv_id alone: a hot
+  * (conv_id, turn_idx bucket) rather than conv_id alone: a hot
   * conversation with millions of turns would otherwise pin one state-store
-  * partition (the skew clause of the north star). Salting by turn_idx is
-  * *lossless* for dedup — a replay carries the same turn_idx, so it always
-  * lands in the same salt bucket as the original.
+  * partition (the skew clause of the north star). Salting by turn_idx
+  * range is *lossless* for dedup — a replay carries the same turn_idx, so
+  * it always lands in the same salt bucket as the original.
   *
   * State per key is a bounded set of 64-bit (turn_idx, text) hashes — at
   * 10^12-turn scale each conversation's state is spread over `salt`
@@ -30,13 +30,18 @@ object DedupState {
   final case class SeenState(hashes: Array[Long], maxEventMs: Long)
 
   private def turnHash(t: Turn): Long = {
-    // FNV-1a over turn_idx and text bytes — stable across JVMs.
+    // FNV-1a over turn_idx and text UTF-16 units — stable across JVMs,
+    // no per-row byte[] copy (this runs once per turn at 10^12 scale).
     var h = 0xcbf29ce484222325L
     def mix(b: Int): Unit = { h ^= (b & 0xff); h *= 0x100000001b3L }
-    var i = 0
     mix(t.turn_idx); mix(t.turn_idx >>> 8); mix(t.turn_idx >>> 16); mix(t.turn_idx >>> 24)
-    val bytes = t.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    while (i < bytes.length) { mix(bytes(i)); i += 1 }
+    val s = t.text
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      mix(c & 0xff); mix((c >>> 8) & 0xff)
+      i += 1
+    }
     h
   }
 
@@ -89,14 +94,20 @@ object DedupState {
 
   /** Append-mode dedup stage. Input must already carry an event-time
     * watermark on `ts` (for state expiry and late-row drop).
+    *
+    * `turnBucketShift`: the salt bucket is `turn_idx >> shift` (ranges of
+    * 2^shift turns), so a normal-sized conversation stays ONE state key
+    * (no key-count blowup) while a hot million-turn conversation spreads
+    * over thousands of buckets. A replayed turn carries the same turn_idx
+    * ⇒ same bucket ⇒ dedup stays lossless.
     */
   def dedup(
       ds: Dataset[Turn],
-      salt: Int = 16,
+      turnBucketShift: Int = 8,
       stateTtlMs: Long = 2L * 3600 * 1000,
       maxHashesPerKey: Int = 1 << 20): Dataset[Turn] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(t => (t.conv_id, math.floorMod(t.turn_idx, salt)))
+    ds.groupByKey(t => (t.conv_id, t.turn_idx >>> turnBucketShift))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         dedupFn(stateTtlMs, maxHashesPerKey))
   }

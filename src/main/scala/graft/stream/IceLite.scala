@@ -79,14 +79,9 @@ object IceLite {
       batchId: Long,
       lineage: DataLineage): Boolean = {
     if (isCommitted(root, batchId)) return false
-    Files.createDirectories(Paths.get(root, "data"))
-    Files.createDirectories(Paths.get(root, "manifests"))
-
     val stamped = df.withColumn("pid", spark_partition_id())
     stamped.persist()
     try {
-      val dataDir = Paths.get(root, "data", s"batch=$batchId").toString
-      stamped.write.mode("overwrite").partitionBy("pid").parquet(dataDir)
       val stats = stamped
         .groupBy(col("pid"))
         .agg(
@@ -99,10 +94,102 @@ object IceLite {
           r.getAs[String]("cmin"), r.getAs[String]("cmax")))
         .sortBy(_.pid)
         .toSeq
-
-      writeManifest(root, Manifest(
-        batchId, lineage.datasetId, stats.map(_.rowCount).sum, stats, lineage.toJson))
+      commitStamped(stamped, root, batchId, lineage, stats)
     } finally stamped.unpersist()
+  }
+
+  /** Write one batch's data files (invisible until `publish`). Returns the
+    * batch data directory.
+    */
+  def writeData(stamped: DataFrame, root: String, batchId: Long): String = {
+    Files.createDirectories(Paths.get(root, "data"))
+    Files.createDirectories(Paths.get(root, "manifests"))
+    val dataDir = Paths.get(root, "data", s"batch=$batchId").toString
+    stamped.write.mode("overwrite").partitionBy("pid").parquet(dataDir)
+    dataDir
+  }
+
+  /** Atomically publish the manifest that makes a written batch visible. */
+  def publish(
+      root: String,
+      batchId: Long,
+      lineage: DataLineage,
+      stats: Seq[PartitionManifest]): Boolean =
+    writeManifest(root, Manifest(
+      batchId, lineage.datasetId, stats.map(_.rowCount).sum, stats, lineage.toJson))
+
+  /** Per-partition stats straight from the written parquet FOOTERS —
+    * row counts and conv_id min/max come from parquet column statistics,
+    * read driver-side in milliseconds with NO Spark job (the same
+    * per-file-stats design real Iceberg manifests use).
+    */
+  def footerStats(dataDir: String): Seq[PartitionManifest] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def parquetFiles(f: java.io.File): Seq[java.io.File] = {
+      val fs = Option(f.listFiles()).getOrElse(Array.empty).toSeq
+      fs.filter(x => x.isFile && x.getName.endsWith(".parquet")) ++
+        fs.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    parquetFiles(new java.io.File(dataDir))
+      .flatMap { f =>
+        val pid = f.getParentFile.getName.stripPrefix("pid=").toInt
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          var cmin: String = null
+          var cmax: String = null
+          blocks.foreach { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == "conv_id")
+              .foreach { c =>
+                val st = c.getStatistics
+                if (st != null && !st.isEmpty) {
+                  val mn = st.genericGetMin match {
+                    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                    case o => o.toString
+                  }
+                  val mx = st.genericGetMax match {
+                    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                    case o => o.toString
+                  }
+                  if (cmin == null || mn < cmin) cmin = mn
+                  if (cmax == null || mx > cmax) cmax = mx
+                }
+              }
+          }
+          if (rows == 0) None
+          else Some(PartitionManifest(pid, rows, Option(cmin).getOrElse(""), Option(cmax).getOrElse("")))
+        } finally reader.close()
+      }
+      .groupBy(_.pid)
+      .map { case (pid, ms) =>
+        PartitionManifest(
+          pid,
+          ms.map(_.rowCount).sum,
+          ms.map(_.convIdMin).min,
+          ms.map(_.convIdMax).max)
+      }
+      .toSeq
+      .sortBy(_.pid)
+  }
+
+  /** Commit a frame already stamped with a `pid` column, with per-partition
+    * stats the caller computed (lets the pipeline share ONE aggregation
+    * job between the validation report and the manifest).
+    */
+  def commitStamped(
+      stamped: DataFrame,
+      root: String,
+      batchId: Long,
+      lineage: DataLineage,
+      stats: Seq[PartitionManifest]): Boolean = {
+    if (isCommitted(root, batchId)) return false
+    writeData(stamped, root, batchId)
+    publish(root, batchId, lineage, stats)
   }
 
   private def writeManifest(root: String, m: Manifest): Boolean = {

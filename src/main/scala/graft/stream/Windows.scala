@@ -17,12 +17,17 @@ object Windows {
 
   /** Stateless per-turn validator stage: PII flags + text quality columns.
     * Pure codegen'd projection — runs before the sink on every turn.
+    *
+    * Hot-path discipline (this touches every turn at 10^12 scale): ONE
+    * combined regex pass for all PII patterns instead of one pass per
+    * pattern, and token counting via regexp_count('\S+') instead of
+    * size(split(...)) — split materializes an array of strings per row.
     */
   def withQualityFlags(df: DataFrame): DataFrame = {
     val txt = col("text")
     df.withColumn("text_len", length(txt))
-      .withColumn("n_tokens", size(split(trim(txt), "\\s+")))
-      .withColumn("has_pii", txt.rlike(piiEmailRe) || txt.rlike(piiSsnRe))
+      .withColumn("n_tokens", regexp_count(txt, lit("\\S+")))
+      .withColumn("has_pii", txt.rlike(s"(?:$piiEmailRe)|(?:$piiSsnRe)"))
   }
 
   private val qualityAggNames = Seq(

@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     writeBatches(src, Seq(b0, b1))
 
     val out = runFileStream(src, tmp("dedup-ck"),
-      ds => DedupState.dedup(ds, salt = 4).toDF, "dedup_out",
+      ds => DedupState.dedup(ds, turnBucketShift = 2).toDF, "dedup_out",
       watermarkDelay = "365 days")
     assert(out.count() == base.count(), "each turn exactly once")
     assert(out.select("conv_id", "turn_idx").distinct().count() == base.count())
@@ -87,7 +87,7 @@ class StreamingSpec extends SparkSpec {
     writeBatches(src, Seq(base, late))
 
     val out = runFileStream(src, tmp("late-ck"),
-      ds => DedupState.dedup(ds, salt = 4).toDF, "late_out",
+      ds => DedupState.dedup(ds, turnBucketShift = 2).toDF, "late_out",
       watermarkDelay = "10 minutes")
     assert(out.filter(col("conv_id") === "conv-late").count() == 0, "late row dropped")
     assert(out.count() == base.count())
@@ -192,7 +192,7 @@ class StreamingSpec extends SparkSpec {
     def cfg(src: String, ck: String, sink: String) = GuardianStream.StreamConfig(
       sourceDir = src, checkpointDir = ck, sinkDir = sink,
       watermarkPayload = "WM01", watermarkDelay = "365 days",
-      salt = 4, maxFilesPerTrigger = Some(1), availableNow = true)
+      turnBucketShift = 2, maxFilesPerTrigger = Some(1), availableNow = true)
 
     // Run A: uninterrupted over all 4 files
     val srcA = tmp("e2e-srcA")
