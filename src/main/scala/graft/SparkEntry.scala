@@ -208,6 +208,71 @@ object SparkEntry {
           greatest(nTokens, lit(1)), 5).as("avg_token_len"))
     }),
 
+    // MinHash signatures (k=8) from a cross-engine-exact polynomial token
+    // hash — the signature stage of MinHash+LSH dedup.
+    "minhash_signatures" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.minhashSignatures(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+    }),
+
+    // LSH candidate pairs: 4 bands x 2 signatures, join on band buckets
+    // (sub-quadratic — never a cross join).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.minhashLshPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+    }),
+
+    // 16-bit SimHash per document.
+    "dedup_simhash" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.simhash16(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("simhash"))
+    }),
+
+    // Exact word-3-gram Jaccard over a deterministic pairing (consecutive
+    // doc ids) — the verification stage that LSH candidates feed at scale.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.select(
+        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.ops.TrainingDataOps.ngramJaccard(docs, pairs, "doc_id")
+    }),
+
+    // Content fingerprint (polynomial rolling hash of the full text).
+    "text_fingerprint" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.fingerprint(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // Stopword-lexicon language-ID heuristic.
+    "lang_id" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.langId(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("lang_guess"))
+    }),
+
+    // Embedding near-duplicates: sign-projection LSH buckets + exact
+    // cosine ≥ 0.3 within bucket.
+    "embedding_neardup" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Multimodal frame sampling over a pseudo-binary payload derived from
+    // document text (decode stage stubbed — no codecs in the sandbox; the
+    // chunk/explode plumbing is the real operator).
+    "mm_frame_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("payload_hex"))
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), i -> substring(payload_hex, i * 16 + 1, 16))"))
+            .as(Seq("frame_idx", "frame_hex")))
+    }),
+
     // Brute-force cosine top-k over the embedding column (the ANN baseline;
     // double-precision, index-ordered dot products on both sides).
     "ann_cosine_topk" -> ((s, dir) => {
@@ -226,6 +291,17 @@ object SparkEntry {
         .orderBy(desc("cosine"), col("vec_id"))
         .limit(10)
     }))
+
+  /** DuckDB restatement of TrainingDataOps' polynomial char hash. */
+  private def duckPolyHash(t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($t) + 1), i -> " +
+      s"CAST(ascii(substring($t, i, 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % 1000000007)"
+
+  /** Token-hash list of a document's space-split tokens (DuckDB side). */
+  private def duckTokenHashes: String =
+    s"list_transform(string_split(text, ' '), t -> ${duckPolyHash("t")})"
 
   /** DuckDB-equivalent SQL per query; identical aliases and rounding. */
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +415,109 @@ object SparkEntry {
          | round(length(regexp_replace(text, '\\s', '', 'g')) /
          |   greatest(len(string_split_regex(trim(text), '\\s+')), 1), 5) AS avg_token_len
          |FROM documents""".stripMargin,
+
+    "minhash_signatures" -> {
+      val sigs = graft.ops.TrainingDataOps.MinhashA
+        .zip(graft.ops.TrainingDataOps.MinhashB).zipWithIndex.map {
+          case ((a, b), j) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007)) AS sig_$j"
+        }.mkString(",\n ")
+      s"""WITH hs AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents)
+         |SELECT doc_id,
+         | $sigs
+         |FROM hs""".stripMargin
+    },
+
+    "dedup_minhash_lsh" -> {
+      val sigs = graft.ops.TrainingDataOps.MinhashA
+        .zip(graft.ops.TrainingDataOps.MinhashB).zipWithIndex.map {
+          case ((a, b), j) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007)) AS sig_$j"
+        }.mkString(",\n ")
+      s"""WITH hs AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sigs FROM hs),
+         |buckets AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band
+         |      WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR)
+         |      WHEN 1 THEN CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR)
+         |      WHEN 2 THEN CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR)
+         |      ELSE CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR)
+         |    END AS bucket
+         |  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+         |small AS (
+         |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+         |  HAVING count(*) <= 64),
+         |kept AS (
+         |  SELECT buckets.* FROM buckets JOIN small USING (band, bucket))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM kept a JOIN kept b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 16), b ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hs""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1), i ->
+        |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.sh, b.sh))) END, 5) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${duckPolyHash("text")} AS fingerprint FROM documents""",
+
+    "lang_id" -> {
+      val counts = graft.ops.TrainingDataOps.langLexicons.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re')) AS c_$l"
+      }.mkString(",\n ")
+      s"""WITH c AS (SELECT doc_id, $counts FROM documents)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN c_de > c_en AND c_de > c_fr AND c_de > c_es THEN 'de'
+         |    WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
+         |    WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+         |    ELSE 'en'
+         |  END AS lang_guess
+         |FROM c""".stripMargin
+    },
+
+    "embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+        |    list_sum(list_transform(range(0, 8), j ->
+        |      CASE WHEN embedding[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cosine
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, k.i AS frame_idx,
+        |  substring(sha256(text), k.i * 16 + 1, 16) AS frame_hex
+        |FROM documents, (VALUES (0), (1), (2), (3)) AS k(i)""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over text and embedding
+  * columns: deduplication (exact / MinHash+LSH / SimHash / n-gram
+  * Jaccard), document fingerprinting, language identification, and
+  * embedding near-duplicate search.
+  *
+  * Design constraints honored throughout:
+  *  - every per-row computation is a built-in / higher-order-function
+  *    Column expression (codegen'd; no UDFs, no RDDs);
+  *  - the token hash is a plain polynomial over character codes so the
+  *    SAME function is expressible in the DuckDB oracle SQL — signatures
+  *    are integer-exact across engines;
+  *  - pair discovery never does an O(n^2) cross join: candidates come
+  *    from LSH band buckets (MinHash) or sign-projection buckets
+  *    (embeddings), the standard sub-quadratic scale path.
+  */
+object TrainingDataOps {
+
+  val P: Long = 1000000007L
+  val MinhashA: Seq[Long] = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
+  val MinhashB: Seq[Long] = Seq(17L, 29L, 43L, 59L, 71L, 83L, 97L, 113L)
+
+  /** Polynomial hash of a token expression (inside a HOF lambda):
+    * fold over chars of `(acc*31 + ascii(char)) mod P`.
+    */
+  def tokenHashSql(t: String): String =
+    s"aggregate(sequence(1, length($t)), 0L, (acc, i) -> (acc * 31 + ascii(substring($t, i, 1))) % ${P}L)"
+
+  /** tokens + their hashes as columns (text split on single spaces —
+    * mirrored exactly by the oracle's string_split).
+    */
+  def withTokenHashes(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__tokens", split(col(textCol), " "))
+      .withColumn("__hs", expr(s"transform(__tokens, t -> ${tokenHashSql("t")})"))
+
+  /** MinHash signatures: sig_j = min over token hashes of (a_j*h+b_j) mod P. */
+  def minhashSignatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = withTokenHashes(df, textCol)
+    val sigs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(__hs, h -> ($a * h + $b) % ${P}L))").as(s"sig_$j")
+    }
+    base.select((df.columns.map(col).toSeq ++ sigs): _*)
+      .drop(textCol)
+  }
+
+  /** LSH candidate pairs: 4 bands of 2 signatures; docs sharing any band
+    * bucket become a candidate pair (id_a < id_b). Shuffle is on band
+    * buckets — never a cross join.
+    *
+    * Skew guard: a degenerate hot bucket (boilerplate-heavy corpora
+    * collide massively) would make the self-join quadratic in THAT
+    * bucket's size, so buckets larger than `maxBucketSize` are dropped —
+    * the standard LSH skew cap (such buckets carry ~no discriminative
+    * signal anyway).
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String = "text",
+      maxBucketSize: Int = 64): DataFrame = {
+    val sigs = minhashSignatures(df, textCol)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val small = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val kept = buckets.join(small, Seq("band", "bucket"))
+    val a = kept.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = kept.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash from token hashes. */
+  def simhash16(df: DataFrame, textCol: String = "text", out: String = "simhash"): DataFrame =
+    withTokenHashes(df, textCol)
+      .withColumn(out, expr(
+        """aggregate(
+          |  transform(sequence(0, 15), b ->
+          |    CASE WHEN aggregate(__hs, 0L,
+          |           (acc, h) -> acc + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+          |         THEN shiftleft(1L, b) ELSE 0L END),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .drop("__tokens", "__hs")
+
+  /** Distinct word 3-gram shingles of a token-array column expression
+    * (distinct on BOTH engines — DuckDB's list_intersect keeps duplicates
+    * where Spark's array_intersect is set-semantic).
+    */
+  private val shinglesSql =
+    """CASE WHEN size(__tokens) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(__tokens) - 2), i ->
+      |    concat_ws(' ', element_at(__tokens, i), element_at(__tokens, i + 1),
+      |      element_at(__tokens, i + 2))))
+      |ELSE array() END""".stripMargin
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (as
+    * produced by minhashLshPairs, or any deterministic pairing).
+    * `pairs` must have columns (id_a, id_b); `docs` has (idCol, textCol).
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .withColumn("__tokens", split(col(textCol), " "))
+      .select(col(idCol), expr(shinglesSql).as("__sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        round(
+          expr("""CASE WHEN size(array_union(sh_a, sh_b)) = 0 THEN 0.0D
+                 |ELSE size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)) END""".stripMargin),
+          5).as("jaccard"))
+  }
+
+  /** Content fingerprint: polynomial hash of the full text. */
+  def fingerprint(df: DataFrame, textCol: String = "text", out: String = "fingerprint"): DataFrame =
+    df.withColumn(out, expr(tokenHashSql(textCol)))
+
+  /** Stopword-lexicon language-ID heuristic. Deterministic strict-majority
+    * dispatch, 'en' on ties/zero signal.
+    */
+  val langLexicons: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|pas|que)\\b",
+    "es" -> "\\b(el|los|las|y|es|una|no|como)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b")
+
+  def langId(df: DataFrame, textCol: String = "text", out: String = "lang_guess"): DataFrame = {
+    val counted = langLexicons.foldLeft(df) { case (d, (lang, re)) =>
+      d.withColumn(s"__c_$lang", regexp_count(lower(col(textCol)), lit(re)))
+    }
+    val Seq(de, fr, es, en) = Seq("de", "fr", "es", "en").map(l => col(s"__c_$l"))
+    counted
+      .withColumn(out,
+        when(de > en && de > fr && de > es, "de")
+          .when(fr > en && fr > de && fr > es, "fr")
+          .when(es > en && es > de && es > fr, "es")
+          .otherwise("en"))
+      .drop("__c_de", "__c_fr", "__c_es", "__c_en")
+  }
+
+  /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
+    * bucket candidates (first 8 coordinate signs) — the LSH scale path:
+    * candidates only within a bucket, never an O(n^2) cross join.
+    * `df` must have (idCol, embedding array<float>).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val e = df.select(
+      col(idCol),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("bucket", expr(
+        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+          "CASE WHEN element_at(e, j + 1) > 0 THEN shiftleft(1L, j) ELSE 0L END)"))
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (a, x) -> a + x * x)")))
+    val a = e.select(col(idCol).as("id_a"), col("e").as("e_a"), col("nrm").as("n_a"), col("bucket"))
+    val b = e.select(col(idCol).as("id_b"), col("e").as("e_b"), col("nrm").as("n_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(expr("aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("n_a") * col("n_b")), 5))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, TrainingDataOps}
+
+/** Training-data pipeline ops: dedup (MinHash+LSH, SimHash, n-gram
+  * Jaccard), fingerprinting, language ID, embedding near-dup, multimodal
+  * plumbing — verified on planted near/exact duplicates (the driver
+  * tables carry none).
+  */
+class TrainingDataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 0
+    (2L, "completely different content about distributed query engines and shuffle planning"),
+    (3L, "der hund läuft und das ist nicht ein problem für die katze und der vogel"),
+    (4L, "le chat est une belle créature et la maison est grande mais pas que petite"),
+    (5L, "el perro es una mascota y los gatos son como una familia no muy grande"),
+    (6L, "the quick brown fox jumps over the lazy dog near the old river bank today")) // exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("minhash: identical texts get identical signatures; near-dups agree on most") {
+    val sigs = TrainingDataOps.minhashSignatures(base).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(j => r.getAs[Long](s"sig_$j")))
+      .toMap
+    assert(sigs(0L) == sigs(6L), "exact dup ⇒ identical signature")
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree01 >= 6, s"near-dup agrees on most minhashes (got $agree01/8)")
+    assert(agree02 < agree01, "unrelated doc agrees less")
+  }
+
+  test("minhash LSH pairs find the planted duplicates without a cross join") {
+    val pairs = TrainingDataOps.minhashLshPairs(base, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 6L)), "exact dup pair found")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 6L)), "near-dup pair found")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs not paired")
+  }
+
+  test("LSH bucket cap drops degenerate hot buckets") {
+    val many = (0L until 200L).map(i => (i, "same same same text")).toDF("doc_id", "text")
+    val capped = TrainingDataOps.minhashLshPairs(many, "doc_id", maxBucketSize = 64)
+    assert(capped.count() == 0, "200-doc bucket exceeds the cap and is dropped")
+    val uncapped = TrainingDataOps.minhashLshPairs(many, "doc_id", maxBucketSize = 1000)
+    assert(uncapped.count() == 200L * 199L / 2)
+  }
+
+  test("simhash: hamming distance separates near-dups from unrelated docs") {
+    val sh = TrainingDataOps.simhash16(base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(6L)) == 0)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated = 0.0") {
+    val pairs = Seq((0L, 6L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val j = TrainingDataOps.ngramJaccard(base, pairs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((0L, 6L)) == 1.0)
+    assert(j((0L, 1L)) > 0.7)
+    assert(j((0L, 2L)) == 0.0)
+  }
+
+  test("fingerprint: content-identical docs collide, others do not") {
+    val fp = TrainingDataOps.fingerprint(base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fp(0L) == fp(6L))
+    assert(fp(0L) != fp(1L) && fp(0L) != fp(2L))
+  }
+
+  test("language id picks the lexicon-majority language") {
+    val got = TrainingDataOps.langId(base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+    assert(got(0L) == "en" && got(2L) == "en")
+    assert(got(3L) == "de")
+    assert(got(4L) == "fr")
+    assert(got(5L) == "es")
+  }
+
+  test("embedding near-dup finds planted high-cosine pair within sign bucket") {
+    val v1 = Array.tabulate(16)(i => 1.0f / math.sqrt(16).toFloat)
+    val v2 = v1.clone(); v2(15) = v2(15) * 0.8f // near-dup of v1
+    val v3 = Array.tabulate(16)(i => (if (i % 2 == 0) 1.0f else -1.0f) / 4.0f)
+    val df = Seq((0L, v1.toSeq), (1L, v2.toSeq), (2L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val nd = TrainingDataOps.embeddingNearDup(df, "vec_id", 0.95).collect()
+    assert(nd.length == 1)
+    assert(nd(0).getLong(0) == 0L && nd(0).getLong(1) == 1L)
+    assert(nd(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("multimodal: frame sampling and feature stubs keep shape and determinism") {
+    val media = Multimodal.syntheticMedia(spark, 10, seed = 7)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    assert(media.select(length(col("payload"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(128), "4 x 32-byte pseudo-frames")
+    val frames = Multimodal.frameSample(media)
+    assert(frames.count() == 40)
+    assert(frames.select(length(col("frame"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(32))
+    val every2 = Multimodal.frameSample(media, everyKth = 2)
+    assert(every2.count() == 20)
+    val feats = Multimodal.extractFeaturesStub(frames)
+    assert(feats.select(size(col("features"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+    // determinism
+    val a = Multimodal.frameSample(Multimodal.syntheticMedia(spark, 10, seed = 7))
+      .select(hex(col("frame"))).collect().map(_.getString(0)).sorted
+    val b = frames.select(hex(col("frame"))).collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    val resized = Multimodal.resizeStub(media, 64, 64)
+    assert(resized.select(col("meta.width")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64))
+  }
+}
