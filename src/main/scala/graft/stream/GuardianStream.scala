@@ -96,10 +96,21 @@ object GuardianStream {
     val n = report.record_count
 
     val lineage = new DataLineage(cfg.datasetId, createdAt = 0.0)
+    // Source offsets for this epoch, from the checkpoint's offset WAL —
+    // written by the engine BEFORE the batch executes, so it is exact and
+    // replay-stable (the "offsets" field of the north star's manifests).
+    val offsets = {
+      val f = java.nio.file.Paths.get(cfg.checkpointDir, "offsets", batchId.toString)
+      if (java.nio.file.Files.exists(f)) {
+        val lines = java.nio.file.Files.readAllLines(f)
+        if (lines.size() >= 3) lines.get(lines.size() - 1) else ""
+      } else ""
+    }
     lineage.record("dedup_watermark_flags", n, n,
       Map(
         "watermark_len" -> cfg.watermarkPayload.length.toString,
-        "turn_bucket_shift" -> cfg.turnBucketShift.toString),
+        "turn_bucket_shift" -> cfg.turnBucketShift.toString,
+        "source_offsets" -> offsets),
       timestamp = Some(batchId.toDouble))
     lineage.record("validate", n, n,
       Map(

@@ -230,5 +230,9 @@ class StreamingSpec extends SparkSpec {
     val manifested = IceLite.committedBatches(cfgA.sinkDir)
       .map(b => IceLite.readManifest(cfgA.sinkDir, b).rowCount).sum
     assert(manifested == spec.totalTurns)
+    // manifests carry the source offsets of their epoch (from the WAL)
+    val lin0 = graft.lineage.Lineage.fromJson(
+      IceLite.readManifest(cfgA.sinkDir, 0L).lineageJson)
+    assert(lin0.events.exists(_.params.get("source_offsets").exists(_.nonEmpty)))
   }
 }
