@@ -65,20 +65,21 @@ object TrainingDataOps {
       struct(lit(b).as("band"),
         concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bucket"))
     }
-    val buckets = sigs
-      .select(col(idCol), explode(array(bands: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val small = buckets
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val kept = buckets.join(small, Seq("band", "bucket"))
-    val a = kept.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = kept.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // ONE evaluation of the signature pipeline (a bucket self-JOIN would
+    // recompute every signature twice): group ids per band bucket, cap
+    // the bucket, expand the (capped, ≤ C(64,2)) pairs with a
+    // higher-order function.
+    sigs
+      .select(col(idCol).as("__id"), explode(array(bands: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), b ->
+          |    struct(least(element_at(ids, i), b) AS id_a,
+          |           greatest(element_at(ids, i), b) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
