@@ -208,6 +208,28 @@ object SparkEntry {
           greatest(nTokens, lit(1)), 5).as("avg_token_len"))
     }),
 
+    // Full streaming guardian pipeline end-to-end (no SQL oracle — the
+    // driver records a rows-only check; semantics are oracle'd piecewise
+    // by the queries above and asserted in StreamingSpec): synthesized
+    // transcript stream with replays → watermark → salted dedup →
+    // per-turn watermark embed → validators → exactly-once IceLite sink;
+    // returns the per-conversation watermark verification over the audit
+    // table (one row per conversation, all verified=true).
+    "stream_guardian_e2e" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val spec = TranscriptSpec(nConvs = 50, turnsPerConv = 16, seed = 42)
+      val turns = DeterministicGen.withDuplicates(
+        DeterministicGen.transcripts(s, spec), dupPermille = 100, seed = 42)
+      turns.repartitionByRange(4, col("ts")).write.parquet(s"$root/src")
+      val cfg = graft.stream.GuardianStream.StreamConfig(
+        sourceDir = s"$root/src", checkpointDir = s"$root/ck",
+        sinkDir = s"$root/sink", watermarkPayload = "WM01",
+        watermarkDelay = "365 days", availableNow = true)
+      graft.stream.GuardianStream.start(s, cfg).awaitTermination()
+      val audit = graft.stream.IceLite.read(s, cfg.sinkDir)
+      Watermarker.verifyTurnTsPerConv(audit, "WM01").filter(col("verified"))
+    }),
+
     // MinHash signatures (k=8) from a cross-engine-exact polynomial token
     // hash — the signature stage of MinHash+LSH dedup.
     "minhash_signatures" -> ((s, dir) => {
