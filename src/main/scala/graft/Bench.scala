@@ -194,10 +194,12 @@ object Bench {
     // even perfect code cannot reach eff=1.0 here; normalized efficiency
     // = pipeline eff / machine eff is the share of ACHIEVABLE scaling the
     // pipeline captures.
-    val calibN = 1500000000L
-    val c8 = CpuCalib.run(8, calibN)
-    val c32 = CpuCalib.run(32, calibN)
-    val machineEff = (c8 / c32) / 4.0
+    // Interleaved best-of-2 — a single noisy run at either level would
+    // otherwise make the ceiling (and the normalized metric) meaningless.
+    val calibN = 2000000000L
+    val c8a = CpuCalib.run(8, calibN); val c32a = CpuCalib.run(32, calibN)
+    val c8b = CpuCalib.run(8, calibN); val c32b = CpuCalib.run(32, calibN)
+    val machineEff = (math.min(c8a, c8b) / math.min(c32a, c32b)) / 4.0
     deleteRecursively(benchRoot.toFile)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

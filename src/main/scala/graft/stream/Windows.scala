@@ -19,11 +19,28 @@ object Windows {
     * Pure codegen'd projection — runs before the sink on every turn.
     *
     * Hot-path discipline (this touches every turn at 10^12 scale): ONE
-    * combined regex pass for all PII patterns instead of one pass per
-    * pattern, and token counting via regexp_count('\S+') instead of
-    * size(split(...)) — split materializes an array of strings per row.
+    * custom Catalyst expression (graft.expressions.TextStats, whole-stage
+    * codegen) scans the UTF-8 bytes once for length, \S+ token count and
+    * both PII patterns — replacing three regex passes; unpacking is
+    * shift/mask arithmetic. Byte-exactness vs the regexes is asserted by
+    * TextStatsSpec.
     */
   def withQualityFlags(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    val packed = CatalystBridge.column(
+      graft.expressions.TextStats(CatalystBridge.expression(col("text"))))
+    df.withColumn("__ts", packed)
+      .withColumn("text_len", shiftright(col("__ts"), 32).cast("int"))
+      .withColumn("n_tokens",
+        shiftright(col("__ts"), 1).bitwiseAND(lit(0x7fffffffL)).cast("int"))
+      .withColumn("has_pii", col("__ts").bitwiseAND(lit(1L)) === 1L)
+      .drop("__ts")
+  }
+
+  /** The regex formulation TextStats replaces — kept for the oracle-
+    * checked batch queries and the equivalence test.
+    */
+  def withQualityFlagsRegex(df: DataFrame): DataFrame = {
     val txt = col("text")
     df.withColumn("text_len", length(txt))
       .withColumn("n_tokens", regexp_count(txt, lit("\\S+")))
