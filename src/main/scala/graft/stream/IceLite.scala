@@ -100,12 +100,18 @@ object IceLite {
 
   /** Write one batch's data files (invisible until `publish`). Returns the
     * batch data directory.
+    *
+    * `pid` is written as a DATA column, not a partition directory:
+    * `partitionBy` would force a full sort of every micro-batch on the
+    * partition key, while each write task emits exactly one file anyway —
+    * so the file↔partition binding is recovered from the parquet footer's
+    * pid column statistics (min == max per file) at manifest time.
     */
   def writeData(stamped: DataFrame, root: String, batchId: Long): String = {
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "manifests"))
     val dataDir = Paths.get(root, "data", s"batch=$batchId").toString
-    stamped.write.mode("overwrite").partitionBy("pid").parquet(dataDir)
+    stamped.write.mode("overwrite").parquet(dataDir)
     dataDir
   }
 
@@ -132,7 +138,6 @@ object IceLite {
     }
     parquetFiles(new java.io.File(dataDir))
       .flatMap { f =>
-        val pid = f.getParentFile.getName.stripPrefix("pid=").toInt
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -142,24 +147,29 @@ object IceLite {
           val rows = blocks.map(_.getRowCount).sum
           var cmin: String = null
           var cmax: String = null
+          var pid = -1
           blocks.foreach { b =>
-            b.getColumns.asScala
-              .find(_.getPath.toDotString == "conv_id")
-              .foreach { c =>
-                val st = c.getStatistics
-                if (st != null && !st.isEmpty) {
-                  val mn = st.genericGetMin match {
-                    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-                    case o => o.toString
-                  }
-                  val mx = st.genericGetMax match {
-                    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-                    case o => o.toString
-                  }
-                  if (cmin == null || mn < cmin) cmin = mn
-                  if (cmax == null || mx > cmax) cmax = mx
+            b.getColumns.asScala.foreach { c =>
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty) {
+                c.getPath.toDotString match {
+                  case "conv_id" =>
+                    val mn = st.genericGetMin match {
+                      case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+                      case o => o.toString
+                    }
+                    val mx = st.genericGetMax match {
+                      case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+                      case o => o.toString
+                    }
+                    if (cmin == null || mn < cmin) cmin = mn
+                    if (cmax == null || mx > cmax) cmax = mx
+                  case "pid" =>
+                    pid = st.genericGetMin.toString.toDouble.toInt
+                  case _ =>
                 }
               }
+            }
           }
           if (rows == 0) None
           else Some(PartitionManifest(pid, rows, Option(cmin).getOrElse(""), Option(cmax).getOrElse("")))
