@@ -176,6 +176,25 @@ class StreamingSpec extends SparkSpec {
     assert(m.partitions.forall(p => p.convIdMin <= p.convIdMax))
   }
 
+  test("processBatch is idempotent under foreachBatch redelivery") {
+    val df = Windows.withQualityFlags(
+      turnsDF(TranscriptSpec(nConvs = 4, turnsPerConv = 6, seed = 28)))
+    val root = tmp("retry-sink")
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = "unused", checkpointDir = tmp("retry-ck"), sinkDir = root)
+    GuardianStream.processBatch(df, 7L, cfg)
+    val rows1 = IceLite.read(spark, root).collect().map(_.toString).sorted
+    val manifest1 = IceLite.readManifest(root, 7L)
+    // Structured Streaming may re-invoke foreachBatch for the same epoch
+    // after a failure — the second delivery must be a no-op.
+    GuardianStream.processBatch(df, 7L, cfg)
+    GuardianStream.processBatch(df.limit(3), 7L, cfg) // even a different frame
+    val rows2 = IceLite.read(spark, root).collect().map(_.toString).sorted
+    assert(rows1.sameElements(rows2))
+    assert(IceLite.readManifest(root, 7L) == manifest1)
+    assert(IceLite.committedBatches(root) == Seq(7L))
+  }
+
   test("end-to-end pipeline: exactly-once sink, resume from checkpoint is identical") {
     val spec = TranscriptSpec(nConvs = 12, turnsPerConv = 16, seed = 27,
       stepSeconds = 30, burstLen = 1000)
