@@ -295,6 +295,14 @@ object SparkEntry {
             .as(Seq("frame_idx", "frame_hex")))
     }),
 
+    // IVF-style ANN: centroid assignment (broadcast + argmax), probe the
+    // query's 4 nearest of 16 cells, exact cosine only within probed
+    // cells — the sub-linear scale path next to the brute-force baseline.
+    "ann_ivf_topk" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", queryId = 0L, k = 10)
+    }),
+
     // Brute-force cosine top-k over the embedding column (the ANN baseline;
     // double-precision, index-ordered dot products on both sides).
     "ann_cosine_topk" -> ((s, dir) => {
@@ -540,6 +548,33 @@ object SparkEntry {
       """SELECT doc_id, k.i AS frame_idx,
         |  substring(sha256(text), k.i * 16 + 1, 16) AS frame_hex
         |FROM documents, (VALUES (0), (1), (2), (3)) AS k(i)""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH vec AS (
+        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vid AS cid, e AS ce, nrm AS cnrm FROM vec WHERE vid BETWEEN 1 AND 16),
+        |scored AS (
+        |  SELECT v.vid, c.cid, list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) AS score
+        |  FROM vec v, cent c),
+        |assigned AS (
+        |  SELECT vid, cid FROM (
+        |    SELECT vid, cid,
+        |      row_number() OVER (PARTITION BY vid ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT cid FROM scored WHERE vid = 0 ORDER BY score DESC, cid LIMIT 4),
+        |q AS (SELECT e AS qe, nrm AS qnrm FROM vec WHERE vid = 0)
+        |SELECT a.vid AS vec_id,
+        |  round(list_dot_product(v.e, q.qe) / (v.nrm * q.qnrm), 6) AS cosine
+        |FROM assigned a
+        |JOIN qprobe p ON a.cid = p.cid
+        |JOIN vec v ON v.vid = a.vid
+        |CROSS JOIN q
+        |WHERE a.vid <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

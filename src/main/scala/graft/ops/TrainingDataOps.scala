@@ -152,6 +152,54 @@ object TrainingDataOps {
       .drop("__c_de", "__c_fr", "__c_es", "__c_en")
   }
 
+  /** IVF-style approximate top-k: assign every vector to its nearest
+    * centroid (broadcast join + per-vector argmax — the "coarse
+    * quantizer"), probe the query's `nProbe` nearest cells, exact cosine
+    * only within probed cells. The scale path for ANN search: the exact
+    * scan shrinks by ~nProbe/nCentroids.
+    *
+    * Centroids are the vectors with ids 1..nCentroids (deterministic; a
+    * production build would k-means them — the plan shape is identical).
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = df.select(
+      col(idCol).as("vid"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (a, x) -> a + x * x)")))
+    val cent = vec.filter(col("vid") >= 1 && col("vid") <= nCentroids)
+      .select(col("vid").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val scored = vec.crossJoin(broadcast(cent))
+      .withColumn("score",
+        expr("aggregate(zip_with(e, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("nrm") * col("cnrm")))
+    val assigned = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("cid"))
+    val qProbe = scored.filter(col("vid") === queryId)
+      .orderBy(col("score").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    val q = vec.filter(col("vid") === queryId)
+      .select(col("e").as("qe"), col("nrm").as("qnrm"))
+    assigned
+      .join(broadcast(qProbe), "cid")
+      .filter(col("vid") =!= queryId)
+      .join(vec, "vid")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vid").as("vec_id"),
+        round(
+          expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+            (col("nrm") * col("qnrm")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first 8 coordinate signs) — the LSH scale path:
     * candidates only within a bucket, never an O(n^2) cross join.

@@ -176,6 +176,26 @@ class StreamingSpec extends SparkSpec {
     assert(m.partitions.forall(p => p.convIdMin <= p.convIdMax))
   }
 
+  test("stateful dedup runs on the RocksDB state store provider (the 10^12-scale state backend)") {
+    val base = turnsDF(TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 29))
+    val src = tmp("rocks-src")
+    writeBatches(src, Seq(base.filter(col("turn_idx") <= 5), base.filter(col("turn_idx") >= 4)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runFileStream(src, tmp("rocks-ck"),
+        ds => DedupState.dedup(ds, turnBucketShift = 2).toDF, "rocks_out",
+        watermarkDelay = "365 days")
+      assert(out.count() == base.count(), "dedup exact on RocksDB state store")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("processBatch is idempotent under foreachBatch redelivery") {
     val df = Windows.withQualityFlags(
       turnsDF(TranscriptSpec(nConvs = 4, turnsPerConv = 6, seed = 28)))
