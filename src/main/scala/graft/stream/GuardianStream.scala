@@ -148,6 +148,51 @@ object GuardianStream {
     ValidationReport(check.valid, Map(s.name -> check), n, None)
   }
 
+  /** Standing provenance-match query (BASELINE.json north_star): raw and
+    * generated turn file streams, both event-time watermarked, joined with
+    * bounded skew; match rows (with the per-turn text-equality verdict)
+    * land exactly-once in their own IceLite audit table.
+    */
+  def startProvenance(
+      spark: SparkSession,
+      rawDir: String,
+      genDir: String,
+      checkpointDir: String,
+      sinkDir: String,
+      watermarkDelay: String = "10 minutes",
+      maxSkew: String = "2 minutes",
+      availableNow: Boolean = false): StreamingQuery = {
+    def src(dir: String) = spark.readStream.schema(turnSchema).parquet(dir)
+      .withWatermark("ts", watermarkDelay)
+    val joined = ProvenanceJoin.join(src(rawDir), src(genDir), maxSkew)
+    var writer = joined.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!IceLite.isCommitted(sinkDir, batchId)) {
+          val stamped = batch.withColumn("pid", spark_partition_id())
+          val obs = org.apache.spark.sql.Observation(s"prov-$batchId")
+          val observed = stamped.observe(obs,
+            count(lit(1)).as("n"), sum(col("text_match").cast("long")).as("matched"))
+          IceLite.writeData(observed, sinkDir, batchId)
+          val m = obs.get
+          val n = m.get("n").collect { case l: Long => l }.getOrElse(0L)
+          val lineage = new DataLineage("provenance", createdAt = 0.0)
+          lineage.record("provenance_join", n, n,
+            Map(
+              "epoch" -> batchId.toString,
+              "text_matched" ->
+                m.get("matched").flatMap(Option(_)).map(_.toString).getOrElse("0")),
+            timestamp = Some(batchId.toDouble))
+          IceLite.publish(sinkDir, batchId, lineage, IceLite.footerStats(
+            java.nio.file.Paths.get(sinkDir, "data", s"batch=$batchId").toString))
+        }
+        ()
+      }
+    if (availableNow) writer = writer.trigger(Trigger.AvailableNow())
+    writer.start()
+  }
+
   /** Start the standing query over a parquet file stream (the IceLite
     * source direction: new data files appended under `sourceDir`).
     */

@@ -159,6 +159,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchResult.count())
     assert(streamed.exceptAll(batchResult).count() == 0)
     assert(batchResult.exceptAll(streamed).count() == 0)
+
+    // the standing provenance query with its own exactly-once audit table
+    val provSink = tmp("prov-sink")
+    GuardianStream.startProvenance(
+      spark, rawSrc, genSrc, tmp("prov-ck2"), provSink,
+      availableNow = true).awaitTermination()
+    val audited = IceLite.read(spark, provSink)
+    assert(audited.count() == batchResult.count())
+    assert(audited.exceptAll(batchResult).count() == 0)
+    val lin = graft.lineage.Lineage.fromJson(
+      IceLite.readManifest(provSink, IceLite.committedBatches(provSink).head).lineageJson)
+    assert(lin.events.head.params.get("text_matched").exists(_.toLong > 0))
   }
 
   test("IceLite: atomic idempotent commits; only manifested batches visible") {
