@@ -163,6 +163,12 @@ object SparkEntry {
         .select(col("w.start").as("wstart"), col("n_events"), col("sum_value"))
     }),
 
+    // Statistical drift detection between adjacent event-time windows
+    // (Welch mean-shift z on value, 1-day tumbling windows).
+    "drift_detect" -> ((s, dir) => {
+      graft.stream.Windows.driftDetect(t(s, dir, "events"), "value", "1 day")
+    }),
+
     // Session window per user with a 30-minute gap (the per-conversation
     // session window of the north star, keyed on user_id here).
     "s_session_window" -> ((s, dir) => {
@@ -403,6 +409,32 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value), 5) AS sum_value
         |FROM events, (VALUES (0), (1), (2), (3)) AS k(k)
         |GROUP BY 1""".stripMargin,
+
+    "drift_detect" ->
+      """WITH agg AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS wstart,
+        |    count(*) AS n,
+        |    coalesce(avg(value), 0) AS mean,
+        |    coalesce(stddev_samp(value), 0) AS std
+        |  FROM events GROUP BY 1
+        |), lagged AS (
+        |  SELECT wstart, n, mean, std,
+        |    lag(n) OVER (ORDER BY wstart) AS prev_n,
+        |    lag(mean) OVER (ORDER BY wstart) AS prev_mean,
+        |    lag(std) OVER (ORDER BY wstart) AS prev_std
+        |  FROM agg
+        |)
+        |SELECT wstart, n, round(mean, 5) AS mean, round(std, 5) AS std,
+        |  CASE WHEN prev_n IS NULL THEN NULL
+        |       ELSE round(abs(mean - prev_mean) /
+        |         sqrt(std * std / n + prev_std * prev_std / prev_n + 1e-12), 5)
+        |  END AS z,
+        |  coalesce(
+        |    CASE WHEN prev_n IS NULL THEN NULL
+        |         ELSE round(abs(mean - prev_mean) /
+        |           sqrt(std * std / n + prev_std * prev_std / prev_n + 1e-12), 5) > 3.0
+        |    END, false) AS drifted
+        |FROM lagged""".stripMargin,
 
     "s_session_window" ->
       """WITH d AS (

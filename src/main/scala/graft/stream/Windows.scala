@@ -76,6 +76,43 @@ object Windows {
           qualityAggNames.map(col)): _*)
   }
 
+  /** Statistical drift detection between adjacent event-time windows
+    * (the "statistical-drift checks" clause of the north star): Welch-style
+    * mean-shift z-score of a numeric column between each window and its
+    * predecessor; drift flagged when |z| exceeds the threshold.
+    * Works identically on batch and streaming-foreachBatch frames.
+    */
+  def driftDetect(
+      df: DataFrame, valueCol: String, windowSize: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    // lag over the (small: time-span / windowSize rows) aggregated window
+    // table — a single-partition sort over aggregates, never over raw rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("wstart"))
+    val v = col(valueCol).cast("double")
+    val agg = df
+      .groupBy(window(col("ts"), windowSize).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        Validator.meanExpr(v).as("mean"),
+        Validator.stdExpr(v).as("std"))
+      .select(col("w.start").as("wstart"), col("n"), col("mean"), col("std"))
+    agg
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("prev_mean", lag(col("mean"), 1).over(w))
+      .withColumn("prev_std", lag(col("std"), 1).over(w))
+      .withColumn("z",
+        when(col("prev_n").isNull, lit(null))
+          .otherwise(round(
+            abs(col("mean") - col("prev_mean")) /
+              sqrt(
+                col("std") * col("std") / col("n") +
+                  col("prev_std") * col("prev_std") / col("prev_n") + lit(1e-12)),
+            5)))
+      .withColumn("drifted", coalesce(col("z") > zThreshold, lit(false)))
+      .select(col("wstart"), col("n"), round(col("mean"), 5).as("mean"),
+        round(col("std"), 5).as("std"), col("z"), col("drifted"))
+  }
+
   /** Per-conversation session windows (gap on ts) with quality stats —
     * the "session windows (gap on ts)" clause of the north star.
     */

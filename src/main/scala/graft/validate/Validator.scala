@@ -111,6 +111,31 @@ object Validator {
   def validateAuto(df: DataFrame): ValidationReport =
     validate(df, ColumnSpec.autoSpecs(df.schema.fieldNames.toSeq))
 
+  /** Schema check (the "schema ... checks" clause of the north star):
+    * fixed expected StructType vs the frame's actual schema — missing
+    * fields, unexpected extras, and type mismatches. Pure metadata, no
+    * job.
+    */
+  def validateSchema(
+      df: DataFrame,
+      expected: org.apache.spark.sql.types.StructType): ValidationReport = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val exp = expected.map(f => f.name -> f.dataType).toMap
+    val missing = exp.keySet -- actual.keySet
+    val extra = actual.keySet -- exp.keySet
+    val mismatched = exp.keySet.intersect(actual.keySet)
+      .filter(n => exp(n) != actual(n))
+    val ok = missing.isEmpty && extra.isEmpty && mismatched.isEmpty
+    val err =
+      if (ok) None
+      else Some(Seq(
+        if (missing.nonEmpty) s"missing: ${missing.toSeq.sorted.mkString(",")}" else "",
+        if (extra.nonEmpty) s"unexpected: ${extra.toSeq.sorted.mkString(",")}" else "",
+        if (mismatched.nonEmpty) s"type mismatch: ${mismatched.toSeq.sorted.mkString(",")}" else "")
+        .filter(_.nonEmpty).mkString("; "))
+    ValidationReport(ok, Map.empty, -1L, err)
+  }
+
   /** validate_correlation_preserved (validator.py:55-71): r on the original
     * pair vs r on the synthetic pair; preserved iff |Δr| ≤ tolerance.
     * Two single-pass aggregations (one per dataset).

@@ -120,6 +120,38 @@ class StreamingSpec extends SparkSpec {
     assert(b.subsetOf(s), "every closed batch window appears in the stream output")
   }
 
+  test("drift detection flags a planted mean shift between windows") {
+    import spark.implicits._
+    val base = 1735689600L // 2025-01-01
+    // 3 hourly windows: means ~10, ~10, ~50 (big shift in the third)
+    val rows = (0 until 300).map { i =>
+      val w = i / 100
+      val ts = new java.sql.Timestamp((base + w * 3600L + (i % 100) * 30L) * 1000L)
+      val v = (if (w < 2) 10.0 else 50.0) + (i % 7) * 0.1
+      (ts, v)
+    }
+    val df = rows.toDF("ts", "value")
+    val out = Windows.driftDetect(df, "value", "1 hour", zThreshold = 3.0)
+      .orderBy("wstart").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Any]("z") == null && !out(0).getAs[Boolean]("drifted"))
+    assert(!out(1).getAs[Boolean]("drifted"), "no drift between equal windows")
+    assert(out(2).getAs[Boolean]("drifted"), "mean shift flagged")
+  }
+
+  test("schema validation reports missing/extra/mismatched fields") {
+    import graft.validate.Validator
+    val good = turnsDF(TranscriptSpec(nConvs = 1, turnsPerConv = 2, seed = 1))
+    assert(Validator.validateSchema(good, GuardianStream.turnSchema).valid)
+    val bad = good.drop("tool").withColumn("extra", org.apache.spark.sql.functions.lit(1))
+      .withColumn("turn_idx", col("turn_idx").cast("long"))
+    val r = Validator.validateSchema(bad, GuardianStream.turnSchema)
+    assert(!r.valid)
+    assert(r.error.get.contains("missing: tool"))
+    assert(r.error.get.contains("unexpected: extra"))
+    assert(r.error.get.contains("type mismatch: turn_idx"))
+  }
+
   test("session windows per conversation match burst structure") {
     val spec = TranscriptSpec(nConvs = 5, turnsPerConv = 20, seed = 24,
       stepSeconds = 30, burstLen = 5, sessionGapSeconds = 3600)
