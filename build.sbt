@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output goes straight to this process's stdout/stderr —
+// no sbt "[info]"/"[error]" line prefixes. The bench/verify protocol
+// requires machine-parseable JSON lines on stdout (round-1 driver parse
+// failed on the "[info] " prefix).
+run / outputStrategy := Some(StdoutOutput)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

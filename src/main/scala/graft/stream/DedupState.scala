@@ -18,9 +18,12 @@ import graft.model.Turn
   *
   * State per key is a bounded set of 64-bit (turn_idx, text) hashes — at
   * 10^12-turn scale each conversation's state is spread over `salt`
-  * buckets and capped at `maxHashesPerKey` (oldest kept; a Bloom filter
-  * would trade exactness for fixed memory — hash exactness chosen here so
-  * the exactly-once output contract stays row-identical). Keys expire via
+  * buckets and capped at `maxHashesPerKey` (NEWEST kept — the right policy
+  * next to the event-time TTL, which also ages out the oldest; a Bloom
+  * filter would trade per-hash exactness for fixed memory). Dedup keys on
+  * the 64-bit hash, so two DISTINCT turns colliding (p ≈ 2⁻⁶⁴ per pair
+  * within one salt bucket) would be conflated — a deliberate
+  * space/exactness tradeoff, not bit-exact set membership. Keys expire via
   * event-time timeout once the watermark passes their last activity +
   * `stateTtlMs` — late replays older than the watermark are dropped by the
   * watermark itself, so expiry cannot re-admit duplicates.

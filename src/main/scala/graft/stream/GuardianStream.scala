@@ -99,12 +99,17 @@ object GuardianStream {
     // Source offsets for this epoch, from the checkpoint's offset WAL —
     // written by the engine BEFORE the batch executes, so it is exact and
     // replay-stable (the "offsets" field of the north star's manifests).
+    // The v1 offset log is a 2-line header (version, metadata JSON)
+    // followed by ONE line per source. Join all source offsets; fall back
+    // loudly if the file shape is unexpected rather than recording "".
     val offsets = {
       val f = java.nio.file.Paths.get(cfg.checkpointDir, "offsets", batchId.toString)
       if (java.nio.file.Files.exists(f)) {
         val lines = java.nio.file.Files.readAllLines(f)
-        if (lines.size() >= 3) lines.get(lines.size() - 1) else ""
-      } else ""
+        if (lines.size() >= 3)
+          (2 until lines.size()).map(lines.get).mkString(";")
+        else "unavailable"
+      } else "unavailable"
     }
     lineage.record("dedup_watermark_flags", n, n,
       Map(
@@ -191,6 +196,44 @@ object GuardianStream {
       }
     if (availableNow) writer = writer.trigger(Trigger.AvailableNow())
     writer.start()
+  }
+
+  /** Health/progress record for a standing query — the engine analog of
+    * the reference's `GET /health` + `/generate` status surface
+    * (app.py:27-29): liveness plus the last micro-batch's progress and
+    * event-time watermark, assembled from StreamingQuery.status /
+    * lastProgress (no job, no collect).
+    */
+  final case class QueryHealth(
+      id: String,
+      runId: String,
+      isActive: Boolean,
+      statusMessage: String,
+      isDataAvailable: Boolean,
+      isTriggerActive: Boolean,
+      lastBatchId: Long,
+      numInputRows: Long,
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      eventTimeWatermark: String)
+
+  def status(q: StreamingQuery): QueryHealth = {
+    val s = q.status
+    val p = Option(q.lastProgress)
+    def finite(d: Double): Double = if (d.isNaN || d.isInfinite) 0.0 else d
+    QueryHealth(
+      id = q.id.toString,
+      runId = q.runId.toString,
+      isActive = q.isActive,
+      statusMessage = s.message,
+      isDataAvailable = s.isDataAvailable,
+      isTriggerActive = s.isTriggerActive,
+      lastBatchId = p.map(_.batchId).getOrElse(-1L),
+      numInputRows = p.map(_.numInputRows).getOrElse(0L),
+      inputRowsPerSecond = finite(p.map(_.inputRowsPerSecond).getOrElse(0.0)),
+      processedRowsPerSecond = finite(p.map(_.processedRowsPerSecond).getOrElse(0.0)),
+      eventTimeWatermark =
+        p.flatMap(x => Option(x.eventTime.get("watermark"))).getOrElse(""))
   }
 
   /** Start the standing query over a parquet file stream (the IceLite

