@@ -29,7 +29,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Ad-hoc JVM flags for forked runs (perf experiments), e.g.
+// EXTRA_JAVA_OPTS="-XX:ParallelGCThreads=8"
+javaOptions ++= sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+")) ++
+  jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] on a 128 GiB box: a small heap makes GC the serial

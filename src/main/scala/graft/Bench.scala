@@ -163,9 +163,14 @@ object Bench {
       val p99 = if (times.isEmpty) 0.0 else times((times.length * 99 / 100).min(times.length - 1))
       import scala.jdk.CollectionConverters._
       val mid = progress.asScala.toSeq.sortBy(_._1).drop(1).filter(_._2 > 0)
+      // Steady-state = MEDIAN of the middle batches' per-batch rates: the
+      // host's 2-3x weather swings hit single batches (a descheduled
+      // second turns one 2s trigger into 9s); a sum-based estimate lets
+      // one such batch dominate the level's number.
+      val rates = mid.filter(_._3 > 0)
+        .map(x => x._2.toDouble / (x._3.toDouble / 1000.0)).sorted
       val steady =
-        if (mid.nonEmpty && mid.map(_._3).sum > 0)
-          mid.map(_._2).sum.toDouble / (mid.map(_._3).sum.toDouble / 1000.0)
+        if (rates.nonEmpty) rates(rates.length / 2)
         else sunk / wallSec
       // free the tmpfs pages this run produced — leftover sink/checkpoint
       // state measurably degrades subsequent high-parallelism runs

@@ -32,6 +32,11 @@ object BenchDebug {
       .config("spark.local.dir", sys.env.getOrElse("DBG_LOCAL_DIR", "/tmp"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("DBG_CODEC", "snappy"))
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("DBG_STATE_PROVIDER",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        sys.env.getOrElse("DBG_ROCKSDB_CHANGELOG", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,6 +58,30 @@ object BenchDebug {
       }
     println(s"total=${spec.totalTurns} variant=$variant cpus=$cpus")
 
+    // Per-stage task-metric sums: where does task time actually go?
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val agg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val a = agg.computeIfAbsent(e.stageId, _ => new Array[Long](6))
+          a.synchronized {
+            a(0) += 1
+            a(1) += m.executorRunTime
+            a(2) += m.jvmGCTime
+            a(3) += m.executorDeserializeTime
+            a(4) += e.taskInfo.duration
+            a(5) = math.max(a(5), e.taskInfo.duration)
+          }
+        }
+      }
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val a = agg.get(e.stageInfo.stageId)
+        if (a != null && a(0) > 2) println(
+          s"  stage=${e.stageInfo.stageId} name=${e.stageInfo.name.takeWhile(_ != ' ')} tasks=${a(0)} " +
+            s"runMs=${a(1)} gcMs=${a(2)} deserMs=${a(3)} durMs=${a(4)} maxTaskMs=${a(5)}")
+      }
+    })
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -80,6 +109,23 @@ object BenchDebug {
       case "flags" => Windows.withQualityFlags(
         graft.watermark.Watermarker.embedTurnTs(src.toDF, "WM01"))
       case "dedup" => DedupState.dedup(src).toDF
+      // object path (groupByKey shuffle + sort + Turn decode/encode) with
+      // NO state store — isolates the state-store commit cost
+      case "flatgroups" =>
+        src.groupByKey(t => (t.conv_id, t.turn_idx >>> 8))
+          .flatMapGroups((_, it) => it).toDF
+      // full dedup machinery but rows carry ~empty strings — isolates the
+      // per-byte cost of shuffling/decoding the text payload
+      case "dedupslim" => {
+        import org.apache.spark.sql.functions.lit
+        val slimSrc = spark.readStream.schema(GuardianStream.turnSchema)
+          .option("maxFilesPerTrigger", trigFiles)
+          .parquet(srcDir)
+          .withColumn("text", lit("")).withColumn("role", lit(""))
+          .withColumn("tool", lit(""))
+          .withWatermark("ts", "10 minutes").as[graft.model.Turn]
+        DedupState.dedup(slimSrc).toDF
+      }
       case _ => GuardianStream.transforms(src, cfg)
     }
     val t0 = System.nanoTime()
