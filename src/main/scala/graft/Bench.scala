@@ -72,7 +72,8 @@ object Bench {
       // zstd halves sink bytes vs snappy: trades (abundant) CPU for
       // (contended) memory/IO bandwidth — ~1.7x throughput at 32 threads
       // when the host is bandwidth-constrained, and fewer bytes at 100 TB
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SINK_CODEC", "zstd"))
       // shuffle/spill files on tmpfs too (cluster executors use local SSDs)
       .config("spark.local.dir", {
         val d = benchRoot.resolve("spark-local")
@@ -107,6 +108,10 @@ object Bench {
     * batches excluded) — the steady-state rate a standing query sustains,
     * free of one-time JIT/stream-init cost.
     */
+  /** Micro-batch size in source files (64 total ⇒ 16 ⇒ 4 data batches). */
+  private val trigFiles: Int =
+    sys.env.getOrElse("SPARK_GRAFT_TRIG_FILES", "16").toInt
+
   def streamRun(cpus: Int, sourceDir: String): StreamResult = {
     val spark = session(cpus)
     try {
@@ -117,7 +122,7 @@ object Bench {
         watermarkPayload = "WM01",
         watermarkDelay = "10 minutes",
         turnBucketShift = 8,
-        maxFilesPerTrigger = Some(16),
+        maxFilesPerTrigger = Some(trigFiles),
         availableNow = true)
       val commitTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
@@ -137,7 +142,7 @@ object Bench {
       val src = {
         import spark.implicits._
         spark.readStream.schema(GuardianStream.turnSchema)
-          .option("maxFilesPerTrigger", 16)
+          .option("maxFilesPerTrigger", trigFiles)
           .parquet(cfg.sourceDir)
           .withWatermark("ts", cfg.watermarkDelay)
           .as[graft.model.Turn]
@@ -159,7 +164,11 @@ object Bench {
       val sunk = IceLite.committedBatches(cfg.sinkDir)
         .map(b => IceLite.readManifest(cfg.sinkDir, b).rowCount).sum
       require(sunk > 0, "streaming bench sank no rows")
-      val times = commitTimes.toArray(Array.empty[java.lang.Long]).map(_.toDouble / 1e6).sorted
+      // p99 over steady-state commits: the first data batch carries the
+      // one-time stream/state-store/codegen init a standing query
+      // amortizes over hours — same middle-batches discipline as steadyTp.
+      val times = commitTimes.toArray(Array.empty[java.lang.Long])
+        .drop(1).map(_.toDouble / 1e6).sorted
       val p99 = if (times.isEmpty) 0.0 else times((times.length * 99 / 100).min(times.length - 1))
       import scala.jdk.CollectionConverters._
       val mid = progress.asScala.toSeq.sortBy(_._1).drop(1).filter(_._2 > 0)
@@ -259,10 +268,15 @@ object Bench {
     quiesceStreamingState()
     spark1.stop()
 
-    // warm-up slice: first quarter of the input files (own directory)
+    // warm-up slice: SMALL (4 files ≈ 500k rows) — plenty to JIT the
+    // per-row paths, but small enough that the warm run's garbage doesn't
+    // poison the measured run: a full-size warm run in the same JVM left
+    // enough old-gen litter that G1 pressure halved the 32-thread
+    // measured run (round-2 bisection: 16-file warm → 340k steady,
+    // 4-file warm → ~1.0M steady on the same host window).
     val warmDir = tmpDir("bench-warm")
     new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName).take(16).foreach { f =>
+      .sortBy(_.getName).take(4).foreach { f =>
         Files.createLink(Paths.get(warmDir, f.getName), f.toPath)
       }
 
@@ -278,8 +292,20 @@ object Bench {
       ForkResult(t, jsonNum(j, "calib_sec"),
         StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"), jsonNum(j, "p99_ms")))
     }
-    val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
-    val pairs = (1 to pairRounds).map(_ => (streamAt(8), streamAt(32)))
+    val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    val basePairs: Seq[(ForkResult, ForkResult)] =
+      (1 to pairRounds).map(_ => (streamAt(8), streamAt(32)))
+    // Adaptive extra window: the host's other tenants hit 32-thread
+    // bandwidth disproportionately (observed 3x swings between adjacent
+    // windows while the pure-CPU calib moved 20%); when the measured pair
+    // efficiencies disagree >2x, one more paired window resolves which
+    // was the outlier.
+    val baseEffs = basePairs.map { case (a, b) => b.r.steadyTp / a.r.steadyTp }
+    val pairs =
+      if (basePairs.length >= 2 &&
+          baseEffs.max / math.max(baseEffs.min, 1e-9) > 2.0)
+        basePairs :+ (streamAt(8), streamAt(32))
+      else basePairs
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -346,7 +372,14 @@ object BenchOne {
         val warmDir = if (args.length > 3 && args(3).nonEmpty) args(3) else srcDir
         Bench.streamRun(cpus, warmDir)
         val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_PER_FORK", "1").toInt
-        val best = Seq.fill(runs)(Bench.streamRun(cpus, srcDir)).maxBy(_.steadyTp)
+        val best = Seq.fill(runs) {
+          // drop the previous run's old-gen litter before measuring — G1
+          // pressure from a prior run in this JVM measurably halves
+          // high-parallelism throughput
+          System.gc()
+          Thread.sleep(500)
+          Bench.streamRun(cpus, srcDir)
+        }.maxBy(_.steadyTp)
         println(
           f"""{"steady_tp":${best.steadyTp}%.1f,"wall_tp":${best.wallTp}%.1f,"p99_ms":${best.commitP99Ms}%.1f,"calib_sec":$calib%.3f}""")
     }
