@@ -312,6 +312,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", queryId = 0L, k = 10)
     }),
 
+    // IVF with a k-means-TRAINED coarse quantizer (2 Lloyd iterations on
+    // integer-quantized vectors — bit-reproducible across engines; closes
+    // the round-1 "centroids are ids 1..16" limitation).
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.ivfKMeansTopK(
+        t(s, dir, "embeddings"), "vec_id", queryId = 0L, k = 10)
+    }),
+
     // Brute-force cosine top-k over the embedding column (the ANN baseline;
     // double-precision, index-ordered dot products on both sides).
     "ann_cosine_topk" -> ((s, dir) => {
@@ -647,6 +655,9 @@ object SparkEntry {
         |WHERE a.vid <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
+    "ann_ivf_kmeans_topk" -> ivfKMeansOracle(
+      nCentroids = 16, nProbe = 4, k = 10, quant = 10000, dim = 64),
+
     "ann_cosine_topk" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
@@ -658,6 +669,65 @@ object SparkEntry {
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** DuckDB restatement of the k-means-trained IVF: the same 2 Lloyd
+    * iterations on integer-quantized vectors, unrolled as CTEs. Exactness
+    * argument in `TrainingDataOps.ivfKMeansTopK`'s scaladoc (all sums are
+    * exact integers below 2^53, so order of summation cannot matter).
+    */
+  private def ivfKMeansOracle(
+      nCentroids: Int, nProbe: Int, k: Int, quant: Int, dim: Int): String = {
+    def dd(l: String): String = s"CAST($l AS DOUBLE[])"
+    def score(v: String, c: String): String =
+      s"list_dot_product(${dd(s"$v.qe")}, ${dd(s"$c.ce")}) / ($v.nrm * $c.cnrm)"
+    def iteration(i: Int, prevCent: String): String =
+      s"""asg$i AS (
+         |  SELECT vid, cid FROM (
+         |    SELECT v.vid, c.cid,
+         |      row_number() OVER (PARTITION BY v.vid
+         |        ORDER BY ${score("v", "c")} DESC, c.cid) AS rn
+         |    FROM vn v, $prevCent c) WHERE rn = 1),
+         |cent${i}p AS (
+         |  SELECT a.cid, t.i AS pos,
+         |    CAST(floor(sum(v.qe[t.i]) * 1.0 / count(*)) AS BIGINT) AS cv
+         |  FROM asg$i a JOIN vn v ON v.vid = a.vid, range(1, ${dim + 1}) t(i)
+         |  GROUP BY a.cid, t.i),
+         |cent$i AS (
+         |  SELECT cid, ce,
+         |    sqrt(list_dot_product(${dd("ce")}, ${dd("ce")})) AS cnrm
+         |  FROM (SELECT cid, list(cv ORDER BY pos) AS ce FROM cent${i}p GROUP BY cid))""".stripMargin
+    s"""WITH vec AS (
+       |  SELECT vec_id AS vid,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * $quant) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |vn AS (
+       |  SELECT vid, qe,
+       |    sqrt(list_dot_product(${dd("qe")}, ${dd("qe")})) AS nrm FROM vec),
+       |cent0 AS (
+       |  SELECT vid AS cid, qe AS ce, nrm AS cnrm FROM vn
+       |  WHERE vid BETWEEN 1 AND $nCentroids),
+       |${iteration(1, "cent0")},
+       |${iteration(2, "cent1")},
+       |scored AS (
+       |  SELECT v.vid, c.cid, ${score("v", "c")} AS score FROM vn v, cent2 c),
+       |assigned AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT vid, cid,
+       |      row_number() OVER (PARTITION BY vid ORDER BY score DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT cid FROM scored WHERE vid = 0 ORDER BY score DESC, cid LIMIT $nProbe),
+       |q AS (SELECT qe AS qq, qe, nrm AS qnrm FROM vn WHERE vid = 0)
+       |SELECT a.vid AS vec_id,
+       |  round(list_dot_product(${dd("v.qe")}, ${dd("q.qq")}) / (v.nrm * q.qnrm), 6) AS cosine
+       |FROM assigned a
+       |JOIN qprobe p ON a.cid = p.cid
+       |JOIN vn v ON v.vid = a.vid
+       |CROSS JOIN q
+       |WHERE a.vid <> 0
+       |ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
 
   /** DuckDB restatement of the COMPOSED streaming guardian pipeline over
     * the events-derived fixture: the planted exact-replay duplicates

@@ -198,6 +198,78 @@ object TrainingDataOps {
       .limit(k)
   }
 
+  /** IVF with a REAL k-means-trained coarse quantizer (spherical k-means,
+    * fixed `iters` Lloyd iterations). Round 1 used the first nCentroids
+    * vectors as centroids (documented limitation); this trains them.
+    *
+    * Cross-engine exactness: floating-point k-means is not reproducible
+    * across engines (summation order), so vectors are QUANTIZED to
+    * integers (round(x·quant)) first — dot products and component sums
+    * are then exact integers (every partial fits in a double's 2^53
+    * mantissa, so even double-typed sums are order-independent), and the
+    * centroid update is an integer floor-division. Every iteration is
+    * bit-reproducible in both Spark and DuckDB.
+    *
+    * Plan shape per iteration: broadcast the (≤ nCentroids-row) centroid
+    * table, per-vector argmax via max_by hash aggregate (no sort), and a
+    * (cid, pos) partial-aggregate for the centroid update — the vector
+    * table is never shuffled on a non-key. At 100 TB you would persist
+    * the assignment between iterations; at bench scale lineage recompute
+    * of 2 iterations is cheaper than the cache write.
+    */
+  def ivfKMeansTopK(
+      df: DataFrame, idCol: String, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      quant: Int = 10000): DataFrame = {
+    val vec = df.select(
+      col(idCol).as("vid"),
+      expr(s"transform(cast(embedding as array<double>), x -> cast(round(x * $quant) as bigint))")
+        .as("qe"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(qe, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")))
+    def dot(a: String, b: String) = expr(
+      s"cast(aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)")
+
+    var cent = vec.filter(col("vid") >= 1 && col("vid") <= nCentroids)
+      .select(col("vid").as("cid"), col("qe").as("ce"), col("nrm").as("cnrm"))
+    for (_ <- 1 to iters) {
+      val assigned = vec.crossJoin(broadcast(cent))
+        .withColumn("score", dot("qe", "ce") / (col("nrm") * col("cnrm")))
+        .groupBy(col("vid"))
+        .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+      cent = assigned.join(vec, "vid")
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("v")) * lit(1.0) / count(lit(1))).cast("long").as("cv"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+        .withColumn("cnrm", sqrt(expr(
+          "aggregate(ce, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")))
+    }
+
+    val scored = vec.crossJoin(broadcast(cent))
+      .withColumn("score", dot("qe", "ce") / (col("nrm") * col("cnrm")))
+    val assigned = scored
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val qProbe = scored.filter(col("vid") === queryId)
+      .orderBy(col("score").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    val q = vec.filter(col("vid") === queryId)
+      .select(col("qe").as("qq"), col("nrm").as("qnrm"))
+    assigned
+      .join(broadcast(qProbe), "cid")
+      .filter(col("vid") =!= queryId)
+      .join(vec, "vid")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vid").as("vec_id"),
+        round(dot("qe", "qq") / (col("nrm") * col("qnrm")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first `nBits` coordinate signs) — the LSH scale
     * path: candidates only within a bucket, never an O(n^2) cross join.

@@ -94,6 +94,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(nd(0).getAs[Double]("cosine") > 0.99)
   }
 
+  test("k-means IVF: trained centroids separate planted clusters; top-k finds the query's cluster") {
+    // two tight clusters around orthogonal directions, membership by id
+    // parity so the k-means seeds (vids 1 and 2) start one per cluster;
+    // the query (vid 0, even) is in cluster A
+    def jig(i: Long, d: Int): Float = ((i * 31 + d * 7) % 5).toFloat / 100f
+    val vecs = (0L until 24L).map { i =>
+      val inA = i % 2 == 0
+      (i, Array.tabulate(16) { d =>
+        (if (inA == (d < 8)) 0.5f else 0.01f) + jig(i, d)
+      }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val top = TrainingDataOps.ivfKMeansTopK(
+      df, "vec_id", queryId = 0L, k = 5, nCentroids = 2, nProbe = 1, iters = 2)
+      .collect()
+    assert(top.length == 5)
+    // with 1 probe, all results come from the query's own (A = even) cluster
+    top.foreach(r => assert(r.getLong(0) % 2 == 0, s"cluster A only: ${r.getLong(0)}"))
+    assert(top.forall(_.getAs[Double]("cosine") > 0.9))
+    // determinism: same input ⇒ identical result
+    val again = TrainingDataOps.ivfKMeansTopK(
+      df, "vec_id", queryId = 0L, k = 5, nCentroids = 2, nProbe = 1, iters = 2)
+      .collect()
+    assert(top.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("multimodal: frame sampling and feature stubs keep shape and determinism") {
     val media = Multimodal.syntheticMedia(spark, 10, seed = 7)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload", "meta"))
