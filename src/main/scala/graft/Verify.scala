@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the e2e query ran a streaming pipeline in this session — stop state
+    // maintenance before the session to avoid shutdown error spam
+    Bench.quiesceStreamingState()
     spark.stop()
   }
 }

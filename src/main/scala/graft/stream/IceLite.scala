@@ -71,11 +71,17 @@ object PosixCommitIO extends CommitIO {
     Files.createDirectories(target.getParent)
     Files.writeString(tmp, content)
     try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      // createLink is atomic AND fails with EEXIST when the target exists.
+      // (Files.move with ATOMIC_MOVE maps to rename(2) on Linux, which
+      // silently REPLACES an existing target — last-writer-wins, NOT
+      // winner-takes-all; caught by the publish-race test.)
+      Files.createLink(target, tmp)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
     }
   }
 }

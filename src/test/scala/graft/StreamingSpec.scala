@@ -319,6 +319,32 @@ class StreamingSpec extends SparkSpec {
     assert(lin0.events.exists(_.params.get("source_offsets").exists(_.nonEmpty)))
   }
 
+  test("CommitIO publish race: exactly one concurrent publisher wins") {
+    val root = tmp("race")
+    val target = java.nio.file.Paths.get(root, "manifests", "manifest-000000099.json")
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futures = (0 until n).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          if (PosixCommitIO.publishIfAbsent(target, s"""{"writer":$i}"""))
+            { wins.incrementAndGet(); () }
+        }
+      })
+    }
+    gate.countDown()
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(wins.get() == 1, s"exactly one winner, got ${wins.get()}")
+    // no temp litter left behind by the losers
+    val leftovers = PosixCommitIO.listNames(target.getParent).filter(_.startsWith(".tmp-"))
+    assert(leftovers.isEmpty, s"losers cleaned up: $leftovers")
+    assert(IceLite.committedBatches(root) == Seq(99L))
+  }
+
   test("query status surfaces health + progress (the GET /health analog)") {
     val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 31)
     val src = tmp("health-src")
