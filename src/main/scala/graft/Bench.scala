@@ -292,7 +292,10 @@ object Bench {
       ForkResult(t, jsonNum(j, "calib_sec"),
         StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"), jsonNum(j, "p99_ms")))
     }
-    val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    // 2 pairs + at most one adaptive pair ≈ 5-6.5 min end-to-end — keeps
+    // the whole bench safely inside the driver's budget (3 pairs + an
+    // adaptive 4th measured 6:54).
+    val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
     val basePairs: Seq[(ForkResult, ForkResult)] =
       (1 to pairRounds).map(_ => (streamAt(8), streamAt(32)))
     // Adaptive extra window: the host's other tenants hit 32-thread

@@ -77,6 +77,36 @@ class PolyHashSpec extends SparkSpec {
     samples.foreach(s => assert(got(s) == ref(s), s"sample '$s'"))
   }
 
+  test("randomized parity vs JVM reference (fixed seed, mixed alphabets)") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabets = Seq(
+      "abcdefghijklmnopqrstuvwxyz ",
+      "abc   ",
+      "aé⊕1 ",
+      ('a' to 'z').mkString + "0123456789 .,!?@-")
+    val strs = (1 to 200).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      val n = rnd.nextInt(80)
+      (1 to n).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    def refHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    def refTokens(s: String): Seq[Long] = {
+      // split on single space, KEEPING empty tokens (split limit -1)
+      s.split(" ", -1).toSeq.map(refHash)
+    }
+    val rows = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("text"), polyHash(col("text")).as("h"),
+        tokenPolyHashes(col("text")).as("hs"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == refHash(t), s"polyHash('$t')")
+      assert(r.getSeq[Long](2) == refTokens(t), s"tokenPolyHashes('$t')")
+    }
+  }
+
   test("expressions participate in whole-stage codegen") {
     // spark.range (not a local Seq, which folds to LocalTableScan)
     val d = spark.range(100).select(concat(lit("tok "), col("id")).as("text"))

@@ -104,6 +104,28 @@ class WatermarkSpec extends SparkSpec {
       .filter(col("verified")).count() == 0)
   }
 
+  test("tamper detection: perturbing a single carrier flips verification") {
+    // batch path: +1 on one early carrier value flips an embedded bit
+    val records = DeterministicGen.persons(spark, 20, seed = 42)
+    val watermarked = Watermarker.embed(records, "WM01", "salary", Seq("id"))
+    val tampered = watermarked.withColumn("salary",
+      when(col("id") === 0, col("salary") + 1).otherwise(col("salary")))
+    assert(!Watermarker.verify(tampered, "WM01", "salary", Seq("id")).verified)
+
+    // per-turn path: a 1µs nudge on ONE turn of ONE conversation breaks
+    // only that conversation's verification
+    val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 20, seed = 13)
+    val embedded = Watermarker.embedTurnTs(
+      DeterministicGen.transcripts(spark, spec), "WM01")
+    val tamperedTs = embedded.withColumn("ts",
+      when(col("conv_id") === "conv-000000" && col("turn_idx") === 3,
+        timestamp_micros(unix_micros(col("ts")) + 1)).otherwise(col("ts")))
+    val v = Watermarker.verifyTurnTsPerConv(tamperedTs, "WM01")
+    assert(v.filter(col("verified")).count() == 3)
+    assert(v.filter(!col("verified")).select("conv_id").collect()
+      .map(_.getString(0)).toSeq == Seq("conv-000000"))
+  }
+
   test("per-turn extraction truncates for short conversations") {
     val spec = TranscriptSpec(nConvs = 3, turnsPerConv = 6, seed = 13) // 12 bits
     val df = DeterministicGen.transcripts(spark, spec)
