@@ -243,6 +243,14 @@ object Bench {
         catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    if (sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"queries_only":true,"value":${results.map(_._2).sum},"queries":$qs}""")
+      quiesceStreamingState()
+      spark1.stop()
+      return
+    }
     // streaming bench input: synthesized transcripts w/ hot-conversation
     // skew, written once and shared by both parallelism levels. A real
     // transcript stream arrives roughly time-ordered, so files are

@@ -340,6 +340,7 @@ object SparkEntry {
     // Brute-force cosine top-k over the embedding column (the ANN baseline;
     // double-precision, index-ordered dot products on both sides).
     "ann_cosine_topk" -> ((s, dir) => {
+      import graft.expressions.ArrayDotFunctions.arrayDot
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
@@ -348,9 +349,9 @@ object SparkEntry {
         .select(
           col("vec_id"),
           round(
-            expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-              (sqrt(expr("aggregate(e, 0D, (a, x) -> a + x * x)")) *
-                sqrt(expr("aggregate(qe, 0D, (a, x) -> a + x * x)"))),
+            arrayDot(col("e"), col("qe")) /
+              (sqrt(arrayDot(col("e"), col("e"))) *
+                sqrt(arrayDot(col("qe"), col("qe")))),
             6).as("cosine"))
         .orderBy(desc("cosine"), col("vec_id"))
         .limit(10)
