@@ -321,6 +321,28 @@ object SparkEntry {
             .as(Seq("frame_idx", "frame_hex")))
     }),
 
+    // Multimodal feature stage over the same pseudo-frame payloads:
+    // per-frame 8-value feature vector (stub projection of frame bytes —
+    // see ops/Multimodal.scala's STUB NOTICE), exploded to scalars so the
+    // driver's value-hash compare applies.
+    "mm_feature_extract" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("ph"))
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), i -> substring(ph, i * 16 + 1, 16))"))
+            .as(Seq("frame_idx", "frame_hex")))
+        .select(
+          col("doc_id"), col("frame_idx"),
+          posexplode(expr(
+            """transform(sequence(1, 8), i ->
+              |  round((ascii(substring(frame_hex, i, 1)) - 52) / 20.0D, 5))""".stripMargin))
+            .as(Seq("feat_pos", "feat")))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("feat_pos") + 1).as("feat_idx"), col("feat"))
+    }),
+
     // IVF-style ANN: centroid assignment (broadcast + argmax), probe the
     // query's 4 nearest of 16 cells, exact cosine only within probed
     // cells — the sub-linear scale path next to the brute-force baseline.
@@ -655,6 +677,14 @@ object SparkEntry {
       """SELECT doc_id, k.i AS frame_idx,
         |  substring(sha256(text), k.i * 16 + 1, 16) AS frame_hex
         |FROM documents, (VALUES (0), (1), (2), (3)) AS k(i)""".stripMargin,
+
+    "mm_feature_extract" ->
+      """SELECT doc_id, k.i AS frame_idx, j.j AS feat_idx,
+        |  round((ascii(substring(sha256(text), k.i * 16 + j.j, 1)) - 52)
+        |    / CAST(20 AS DOUBLE), 5) AS feat
+        |FROM documents,
+        |  (VALUES (0), (1), (2), (3)) AS k(i),
+        |  (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS j(j)""".stripMargin,
 
     "ann_ivf_topk" ->
       """WITH vec AS (

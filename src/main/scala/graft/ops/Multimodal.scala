@@ -65,8 +65,10 @@ object Multimodal {
     */
   def extractFeaturesStub(frames: DataFrame): DataFrame =
     frames.withColumn("features", expr(
+      // 52/20.0D not 52.0/20.0: SQL literals with a decimal point are
+      // DECIMAL in both Spark and DuckDB — the features must be DOUBLE
       """transform(sequence(1, 8), i ->
-        |  (ascii(substring(hex(frame), i * 2 - 1, 1)) - 52.0) / 20.0)""".stripMargin))
+        |  (ascii(substring(hex(frame), i * 2 - 1, 1)) - 52) / 20.0D)""".stripMargin))
 
   /** STUB resize: recomputes metadata only (a real codec would transform
     * payload bytes); keeps the plan shape of a per-row media transform.
