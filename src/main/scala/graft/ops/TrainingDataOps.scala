@@ -127,26 +127,42 @@ object TrainingDataOps {
     df.withColumn(out, graft.expressions.PolyHashFunctions.polyHash(col(textCol)))
 
   /** Stopword-lexicon language-ID heuristic. Deterministic strict-majority
-    * dispatch, 'en' on ties/zero signal.
+    * dispatch, 'en' on ties/zero signal. Word lists live in
+    * graft.expressions.LexiconScan (single source of truth); the regex
+    * forms below are what the DuckDB oracle states.
     */
-  val langLexicons: Seq[(String, String)] = Seq(
-    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
-    "fr" -> "\\b(le|la|les|et|est|une|pas|que)\\b",
-    "es" -> "\\b(el|los|las|y|es|una|no|como)\\b",
-    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b")
+  val langLexicons: Seq[(String, String)] =
+    graft.expressions.LexiconScan.lexiconWords.map { case (lang, words) =>
+      lang -> s"\\b(${words.mkString("|")})\\b"
+    }
 
-  def langId(df: DataFrame, textCol: String = "text", out: String = "lang_guess"): DataFrame = {
+  /** The four regexp_count passes, replaced in the engine by the
+    * single-pass LexiconCounts expression (kept for the equivalence test).
+    */
+  def langIdRegex(df: DataFrame, textCol: String = "text", out: String = "lang_guess"): DataFrame = {
     val counted = langLexicons.foldLeft(df) { case (d, (lang, re)) =>
       d.withColumn(s"__c_$lang", regexp_count(lower(col(textCol)), lit(re)))
     }
+    dispatch(counted, out).drop("__c_de", "__c_fr", "__c_es", "__c_en")
+  }
+
+  def langId(df: DataFrame, textCol: String = "text", out: String = "lang_guess"): DataFrame = {
+    val packed = graft.expressions.LexiconFunctions.lexiconCounts(lower(col(textCol)))
+    val counted = df.withColumn("__lp", packed)
+      .withColumn("__c_de", shiftright(col("__lp"), 48).bitwiseAND(lit(0xffffL)))
+      .withColumn("__c_fr", shiftright(col("__lp"), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("__c_es", shiftright(col("__lp"), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("__c_en", col("__lp").bitwiseAND(lit(0xffffL)))
+    dispatch(counted, out).drop("__lp", "__c_de", "__c_fr", "__c_es", "__c_en")
+  }
+
+  private def dispatch(counted: DataFrame, out: String): DataFrame = {
     val Seq(de, fr, es, en) = Seq("de", "fr", "es", "en").map(l => col(s"__c_$l"))
-    counted
-      .withColumn(out,
-        when(de > en && de > fr && de > es, "de")
-          .when(fr > en && fr > de && fr > es, "fr")
-          .when(es > en && es > de && es > fr, "es")
-          .otherwise("en"))
-      .drop("__c_de", "__c_fr", "__c_es", "__c_en")
+    counted.withColumn(out,
+      when(de > en && de > fr && de > es, "de")
+        .when(fr > en && fr > de && fr > es, "fr")
+        .when(es > en && es > de && es > fr, "es")
+        .otherwise("en"))
   }
 
   /** IVF-style approximate top-k: assign every vector to its nearest
