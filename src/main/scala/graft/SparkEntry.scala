@@ -214,6 +214,29 @@ object SparkEntry {
           greatest(nTokens, lit(1)), 5).as("avg_token_len"))
     }),
 
+    // Provenance matching, batch-checkable: the raw side is the
+    // events-derived transcript fixture; the generated twin carries a
+    // deterministic bounded skew ((event_id % 241) - 120 s), planted
+    // OUT-of-range rows (event_id % 17 = 0 ⇒ +400 s, outside the 2-minute
+    // join window) and planted text perturbations (event_id % 23 = 0).
+    // Same join as the standing stream-stream query (ProvenanceJoin.join,
+    // watermark-bounded in streaming); the oracle restates fixture, twin
+    // and the interval join in SQL.
+    "provenance_match" -> ((s, dir) => {
+      val base = e2eTurnsFromEvents(t(s, dir, "events"))
+      val raw = base.drop("event_id")
+      val gen = base
+        .withColumn("__skew",
+          when(pmod(col("event_id"), lit(17L)) === 0, lit(400L))
+            .otherwise(pmod(col("event_id"), lit(241L)) - 120L))
+        .withColumn("ts", col("ts") + expr("make_dt_interval(0, 0, 0, __skew)"))
+        .withColumn("text",
+          when(pmod(col("event_id"), lit(23L)) === 0,
+            concat(col("text"), lit(" [generated]"))).otherwise(col("text")))
+        .drop("event_id", "__skew")
+      graft.stream.ProvenanceJoin.join(raw, gen, "2 minutes")
+    }),
+
     // Token counting, BPE-ish: greedy lexical pre-tokenization in the
     // GPT-2/tiktoken style — letter runs, digit runs, and single
     // punctuation marks each become one pre-token (the units a byte-pair
@@ -482,6 +505,40 @@ object SparkEntry {
     "w_roundtrip" -> wRoundtripOracle("WM01"),
 
     "stream_guardian_e2e" -> e2eOracle("WM01"),
+
+    "provenance_match" ->
+      """WITH base AS (
+        |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+        |    event_id, event_type, ts
+        |  FROM events
+        |), withrole AS (
+        |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+        |                 WHEN turn_idx % 2 = 1 THEN 'user'
+        |                 WHEN event_id % 5 = 0 THEN 'tool'
+        |                 ELSE 'assistant' END AS role
+        |  FROM base
+        |), turns AS (
+        |  SELECT conv_id, turn_idx, event_id, ts,
+        |    '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+        |      conv_id || ' type ' || event_type ||
+        |      CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM withrole
+        |), gen AS (
+        |  SELECT conv_id, turn_idx,
+        |    ts + (CASE WHEN event_id % 17 = 0 THEN 400
+        |               ELSE (event_id % 241) - 120 END) * INTERVAL '1 second' AS ts,
+        |    text || CASE WHEN event_id % 23 = 0 THEN ' [generated]' ELSE '' END AS text
+        |  FROM turns
+        |)
+        |SELECT r.conv_id, r.turn_idx,
+        |  r.ts AS raw_ts, g.ts AS gen_ts,
+        |  (r.text = g.text) AS text_match,
+        |  epoch_us(g.ts) - epoch_us(r.ts) AS skew_us
+        |FROM turns r JOIN gen g
+        |  ON r.conv_id = g.conv_id AND r.turn_idx = g.turn_idx
+        |  AND g.ts >= r.ts - INTERVAL '2 minutes'
+        |  AND g.ts <= r.ts + INTERVAL '2 minutes'""".stripMargin,
 
     "token_count_bpe" ->
       """SELECT doc_id,

@@ -40,6 +40,9 @@ object ProvenanceJoin {
         col("ts").as("raw_ts"),
         col("g_ts").as("gen_ts"),
         (col("text") === col("g_text")).as("text_match"),
-        (unix_micros(col("g_ts")) - unix_micros(col("ts"))).as("skew_us"))
+        // cast makes this NTZ-agnostic (no-op on TIMESTAMP; NTZ is read in
+        // the session's UTC) — batch callers may pass timestamp_ntz frames
+        (unix_micros(col("g_ts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp"))).as("skew_us"))
   }
 }
