@@ -214,6 +214,24 @@ object SparkEntry {
           greatest(nTokens, lit(1)), 5).as("avg_token_len"))
     }),
 
+    // Schema validation (metadata-only — no Spark job): per-field verdict
+    // of the documents table against a spec with a planted type mismatch
+    // (lang expected int) and a planted missing field (embedding). The
+    // oracle derives the same verdicts INDEPENDENTLY from DuckDB's
+    // information_schema over the same parquet.
+    "schema_validate" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val expected = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", IntegerType),    // actual: string ⇒ type_mismatch
+        StructField("n_chars", LongType),
+        StructField("embedding", ArrayType(FloatType)))) // ⇒ missing
+      import s.implicits._
+      Validator.schemaFieldStatuses(t(s, dir, "documents"), expected)
+        .toDF("field", "status")
+    }),
+
     // Provenance matching, batch-checkable: the raw side is the
     // events-derived transcript fixture; the generated twin carries a
     // deterministic bounded skew ((event_id % 241) - 120 s), planted
@@ -505,6 +523,23 @@ object SparkEntry {
     "w_roundtrip" -> wRoundtripOracle("WM01"),
 
     "stream_guardian_e2e" -> e2eOracle("WM01"),
+
+    "schema_validate" ->
+      """WITH actual AS (
+        |  SELECT column_name AS field, lower(data_type) AS dt
+        |  FROM information_schema.columns WHERE table_name = 'documents'),
+        |expected(field, dt) AS (VALUES
+        |  ('doc_id', 'bigint'), ('text', 'varchar'), ('lang', 'integer'),
+        |  ('n_chars', 'bigint'), ('embedding', 'float[]'))
+        |SELECT e.field,
+        |  CASE WHEN a.field IS NULL THEN 'missing'
+        |       WHEN a.dt = e.dt THEN 'ok'
+        |       ELSE 'type_mismatch' END AS status
+        |FROM expected e LEFT JOIN actual a USING (field)
+        |UNION ALL
+        |SELECT a.field, 'unexpected' AS status
+        |FROM actual a LEFT JOIN expected e USING (field)
+        |WHERE e.field IS NULL""".stripMargin,
 
     "provenance_match" ->
       """WITH base AS (

@@ -116,6 +116,25 @@ object Validator {
     * fields, unexpected extras, and type mismatches. Pure metadata, no
     * job.
     */
+  /** Per-field schema verdicts (metadata-only — no job): one
+    * (field, status) row per expected field (ok / missing /
+    * type_mismatch) plus one `unexpected` row per extra actual field.
+    * `validateSchema` aggregates the same comparison into one report.
+    */
+  def schemaFieldStatuses(
+      df: DataFrame,
+      expected: org.apache.spark.sql.types.StructType): Seq[(String, String)] = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    expected.fields.toSeq.map { f =>
+      actual.get(f.name) match {
+        case None => (f.name, "missing")
+        case Some(t) if t == f.dataType => (f.name, "ok")
+        case Some(_) => (f.name, "type_mismatch")
+      }
+    } ++ df.schema.map(_.name).filterNot(expected.fieldNames.contains)
+      .map(_ -> "unexpected")
+  }
+
   def validateSchema(
       df: DataFrame,
       expected: org.apache.spark.sql.types.StructType): ValidationReport = {
