@@ -85,7 +85,9 @@ object Bench {
     s
   }
 
-  final case class StreamResult(steadyTp: Double, wallTp: Double, commitP99Ms: Double)
+  final case class StreamResult(
+      steadyTp: Double, wallTp: Double, commitP99Ms: Double,
+      commitsMs: Seq[Double] = Seq.empty)
 
   /** Stop state-store maintenance threads BEFORE the session: a
     * maintenance tick that fires mid-`SparkContext.stop()` logs an ERROR
@@ -185,7 +187,7 @@ object Bench {
       // state measurably degrades subsequent high-parallelism runs
       deleteRecursively(new java.io.File(cfg.sinkDir))
       deleteRecursively(new java.io.File(cfg.checkpointDir))
-      StreamResult(steady, sunk / wallSec, p99)
+      StreamResult(steady, sunk / wallSec, p99, times.toSeq)
     } finally { quiesceStreamingState(); spark.stop() }
   }
 
@@ -219,6 +221,12 @@ object Bench {
     out.linesIterator.find(_.startsWith("{")).getOrElse(
       sys.error(s"BenchOne($mode, $cpus) produced no JSON: $out"))
   }
+
+  private def jsonArr(json: String, key: String): Seq[Double] =
+    (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
+      .map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toDouble))
+      .getOrElse(Seq.empty)
 
   private def jsonNum(json: String, key: String): Double =
     s""""$key":([-0-9.eE]+)""".r.findFirstMatchIn(json)
@@ -298,7 +306,8 @@ object Bench {
       val t = System.currentTimeMillis() / 1000
       val j = forkPinned(cpus, "stream", srcDir, warmDir)
       ForkResult(t, jsonNum(j, "calib_sec"),
-        StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"), jsonNum(j, "p99_ms")))
+        StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"),
+          jsonNum(j, "p99_ms"), jsonArr(j, "commits_ms")))
     }
     // 2 pairs + at most one adaptive pair ≈ 5-6.5 min end-to-end — keeps
     // the whole bench safely inside the driver's budget (3 pairs + an
@@ -333,6 +342,20 @@ object Bench {
     val effPaired = median(pairEffs)
     val machineEffs = pairs.map { case (a, b) => (a.calibSec / b.calibSec) / 4.0 }
     val machineEff = median(machineEffs)
+    // p99 over the POOLED steady-state commits of all the level's
+    // interleaved runs (a single run contributes only ~4 samples, making
+    // its p99 a weather-exposed max)
+    def p99(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else { val s = xs.sorted; s((s.length * 99 / 100).min(s.length - 1)) }
+    val p99_8 = {
+      val pool = all8.flatMap(_.r.commitsMs)
+      if (pool.nonEmpty) p99(pool) else best8.r.commitP99Ms
+    }
+    val p99_32 = {
+      val pool = all32.flatMap(_.r.commitsMs)
+      if (pool.nonEmpty) p99(pool) else best32.r.commitP99Ms
+    }
     val normalized = math.min(1.0, if (machineEff > 0) eff / machineEff else 0.0)
     deleteRecursively(benchRoot.toFile)
 
@@ -355,7 +378,9 @@ object Bench {
         f""""steady_tps_local32":${arr(all32.map(_.r.steadyTp), "%.0f")},""" +
         f""""fork_start_epochs":${(all8 ++ all32).map(_.startEpochSec).sorted.mkString("[", ",", "]")},""" +
         f""""core_pinned":true,"interleaved_pairs":$pairRounds,""" +
-        f""""commit_p99_ms_local8":${best8.r.commitP99Ms}%.1f,"commit_p99_ms_local32":${best32.r.commitP99Ms}%.1f}"""
+        f""""commit_p99_ms_local8":$p99_8%.1f,"commit_p99_ms_local32":$p99_32%.1f,""" +
+        f""""commit_samples_local8":${all8.map(_.r.commitsMs.length).sum},""" +
+        f""""commit_samples_local32":${all32.map(_.r.commitsMs.length).sum}}"""
     val line =
       s"""{"metric":"validated+watermarked turns/sec end-to-end (local[32]); batch query total sec","value":$totalSec,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}"""
     // The driver parses stdout; a file copy survives any log interleaving.
@@ -383,16 +408,22 @@ object BenchOne {
         val warmDir = if (args.length > 3 && args(3).nonEmpty) args(3) else srcDir
         Bench.streamRun(cpus, warmDir)
         val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_PER_FORK", "1").toInt
-        val best = Seq.fill(runs) {
+        val all = Seq.fill(runs) {
           // drop the previous run's old-gen litter before measuring — G1
           // pressure from a prior run in this JVM measurably halves
           // high-parallelism throughput
           System.gc()
           Thread.sleep(500)
           Bench.streamRun(cpus, srcDir)
-        }.maxBy(_.steadyTp)
+        }
+        val best = all.maxBy(_.steadyTp)
+        // steady-state commit samples from ALL measured runs in this fork:
+        // the parent pools them per level across interleaved windows so
+        // the reported p99 rests on more than one run's ~4 commits
+        val commits = all.flatMap(_.commitsMs)
+          .map(t => f"$t%.1f").mkString("[", ",", "]")
         println(
-          f"""{"steady_tp":${best.steadyTp}%.1f,"wall_tp":${best.wallTp}%.1f,"p99_ms":${best.commitP99Ms}%.1f,"calib_sec":$calib%.3f}""")
+          f"""{"steady_tp":${best.steadyTp}%.1f,"wall_tp":${best.wallTp}%.1f,"p99_ms":${best.commitP99Ms}%.1f,"calib_sec":$calib%.3f,"commits_ms":$commits}""")
     }
   }
 }
