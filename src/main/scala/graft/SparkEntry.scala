@@ -214,6 +214,22 @@ object SparkEntry {
           greatest(nTokens, lit(1)), 5).as("avg_token_len"))
     }),
 
+    // Windowed text-quality validator over transcripts (the north-star
+    // drift windows): tumbling event-time windows of text-length stats +
+    // PII counts, computed by the custom codegen TextStats expression —
+    // the oracle restates the flags with the regexes TextStats is
+    // byte-exact against (TextStatsSpec). approx_convs (HLL) is excluded:
+    // a sketch has no cross-engine-exact twin.
+    "quality_windows" -> ((s, dir) => {
+      val turns = e2eTurnsFromEvents(t(s, dir, "events")).drop("event_id")
+      graft.stream.Windows.driftWindows(turns, "6 hours")
+        .select(
+          col("wstart"), col("n_turns"), col("len_min"), col("len_max"),
+          round(col("len_mean"), 5).as("len_mean"),
+          round(col("len_std"), 5).as("len_std"),
+          col("n_pii"))
+    }),
+
     // Schema validation (metadata-only — no Spark job): per-field verdict
     // of the documents table against a spec with a planted type mismatch
     // (lang expected int) and a planted missing field (embedding). The
@@ -523,6 +539,40 @@ object SparkEntry {
     "w_roundtrip" -> wRoundtripOracle("WM01"),
 
     "stream_guardian_e2e" -> e2eOracle("WM01"),
+
+    "quality_windows" -> {
+      val pii = s"(?:${graft.stream.Windows.piiEmailRe})|(?:${graft.stream.Windows.piiSsnRe})"
+      s"""WITH base AS (
+         |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         |    event_id, event_type, ts
+         |  FROM events
+         |), withrole AS (
+         |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+         |                 WHEN turn_idx % 2 = 1 THEN 'user'
+         |                 WHEN event_id % 5 = 0 THEN 'tool'
+         |                 ELSE 'assistant' END AS role
+         |  FROM base
+         |), turns AS (
+         |  SELECT ts,
+         |    '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+         |      conv_id || ' type ' || event_type ||
+         |      CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+         |  FROM withrole
+         |), f AS (
+         |  SELECT ts, length(text) AS text_len,
+         |    regexp_matches(text, '$pii') AS has_pii
+         |  FROM turns
+         |)
+         |SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+         |  count(*) AS n_turns,
+         |  min(text_len) AS len_min,
+         |  max(text_len) AS len_max,
+         |  round(coalesce(avg(text_len), 0), 5) AS len_mean,
+         |  round(coalesce(stddev_samp(text_len), 0), 5) AS len_std,
+         |  count(*) FILTER (WHERE has_pii) AS n_pii
+         |FROM f GROUP BY 1""".stripMargin
+    },
 
     "schema_validate" ->
       """WITH actual AS (
