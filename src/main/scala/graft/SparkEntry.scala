@@ -230,6 +230,17 @@ object SparkEntry {
           col("n_pii"))
     }),
 
+    // Per-conversation SESSION windows driving the quality validators —
+    // the north star's "session windows (gap on ts) drive stateful
+    // quality validators" composed end-to-end on the transcript fixture.
+    "quality_sessions" -> ((s, dir) => {
+      val turns = e2eTurnsFromEvents(t(s, dir, "events")).drop("event_id")
+      graft.stream.Windows.sessionWindows(turns, "30 minutes")
+        .select(
+          col("conv_id"), col("session_start"), col("session_end"),
+          col("n_turns"), round(col("len_mean"), 5).as("len_mean"), col("n_pii"))
+    }),
+
     // Schema validation (metadata-only — no Spark job): per-field verdict
     // of the documents table against a spec with a planted type mismatch
     // (lang expected int) and a planted missing field (embedding). The
@@ -572,6 +583,48 @@ object SparkEntry {
          |  round(coalesce(stddev_samp(text_len), 0), 5) AS len_std,
          |  count(*) FILTER (WHERE has_pii) AS n_pii
          |FROM f GROUP BY 1""".stripMargin
+    },
+
+    "quality_sessions" -> {
+      val pii = s"(?:${graft.stream.Windows.piiEmailRe})|(?:${graft.stream.Windows.piiSsnRe})"
+      s"""WITH base AS (
+         |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         |    event_id, event_type, ts
+         |  FROM events
+         |), withrole AS (
+         |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+         |                 WHEN turn_idx % 2 = 1 THEN 'user'
+         |                 WHEN event_id % 5 = 0 THEN 'tool'
+         |                 ELSE 'assistant' END AS role
+         |  FROM base
+         |), turns AS (
+         |  SELECT conv_id, ts,
+         |    '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+         |      conv_id || ' type ' || event_type ||
+         |      CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+         |  FROM withrole
+         |), f AS (
+         |  SELECT conv_id, ts, length(text) AS text_len,
+         |    regexp_matches(text, '$pii') AS has_pii
+         |  FROM turns
+         |), d AS (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+         |), sess AS (
+         |  SELECT *, sum(new_session) OVER (PARTITION BY conv_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM d
+         |)
+         |SELECT conv_id,
+         |  min(ts) AS session_start,
+         |  max(ts) + INTERVAL '30 minutes' AS session_end,
+         |  count(*) AS n_turns,
+         |  round(coalesce(avg(text_len), 0), 5) AS len_mean,
+         |  count(*) FILTER (WHERE has_pii) AS n_pii
+         |FROM sess GROUP BY conv_id, sid""".stripMargin
     },
 
     "schema_validate" ->
