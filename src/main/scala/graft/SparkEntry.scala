@@ -310,7 +310,15 @@ object SparkEntry {
     // oracle restates dedup (exact-duplicate collapse), the bit embed,
     // per-conversation extraction and whole-byte repacking in SQL.
     "stream_guardian_e2e" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      // tmpfs when available: checkpoint WAL + sink commits on the
+      // virtual disk add seconds of writeback jitter to this query
+      val base = java.nio.file.Paths.get("/dev/shm")
+      val root = (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "graft-e2e")
+      else java.nio.file.Files.createTempDirectory("graft-e2e")).toString
+      // the returned frame is lazy over the sink files, so the scratch
+      // can only be reclaimed at JVM exit (tmpfs pages are RAM)
+      sys.addShutdownHook(Bench.deleteRecursively(new java.io.File(root)))
       val turns = e2eTurnsFromEvents(t(s, dir, "events"))
       val withDups = turns.union(turns.filter(pmod(col("event_id"), lit(10L)) === 0))
         .drop("event_id")
