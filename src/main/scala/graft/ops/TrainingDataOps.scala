@@ -237,6 +237,9 @@ object TrainingDataOps {
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
       quant: Int = 10000): DataFrame = {
     import graft.expressions.ArrayDotFunctions.arrayDotLong
+    // persisted: the iterated plan below re-evaluates this table once per
+    // centroid-broadcast and once per update — at 100 TB this cache (or a
+    // checkpoint) is mandatory, at bench scale it trims the re-scans
     val vec = df.select(
       col(idCol).as("vid"),
       expr(s"transform(cast(embedding as array<double>), x -> cast(round(x * $quant) as bigint))")
@@ -244,6 +247,7 @@ object TrainingDataOps {
       // sum of squares of the quantized ints is an exact integer (< 2^53),
       // so the long dot cast to double equals the HOF double fold exactly
       .withColumn("nrm", sqrt(arrayDotLong(col("qe"), col("qe")).cast("double")))
+      .persist()
     def dot(a: String, b: String) =
       arrayDotLong(col(a), col(b)).cast("double")
 
