@@ -99,7 +99,11 @@ object BenchDebug {
       sourceDir = srcDir,
       checkpointDir = tmpDir("dbg-ck"),
       sinkDir = tmpDir("dbg-sink"),
-      maxFilesPerTrigger = Some(trigFiles), availableNow = true)
+      maxFilesPerTrigger = Some(trigFiles), availableNow = true,
+      rowDedup = !sys.env.get("DBG_ROW_DEDUP").contains("off"),
+      qualityWindow =
+        if (sys.env.get("DBG_QUALITY").contains("off")) None
+        else Some(sys.env.getOrElse("DBG_QUALITY", "1 hour")))
     val src = spark.readStream.schema(GuardianStream.turnSchema)
       .option("maxFilesPerTrigger", trigFiles)
       .parquet(srcDir).withWatermark("ts", "10 minutes").as[graft.model.Turn]
@@ -109,6 +113,7 @@ object BenchDebug {
       case "flags" => Windows.withQualityFlags(
         graft.watermark.Watermarker.embedTurnTs(src.toDF, "WM01"))
       case "dedup" => DedupState.dedup(src).toDF
+      case "deduprows" => DedupState.dedupRows(src.toDF)
       // object path (groupByKey shuffle + sort + Turn decode/encode) with
       // NO state store — isolates the state-store commit cost
       case "flatgroups" =>

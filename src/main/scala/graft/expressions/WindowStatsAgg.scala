@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-tumbling-window quality statistics as ONE aggregate expression, so
+  * the per-epoch drift-window partials ride the audit sink's write job via
+  * `observe()` — zero extra Spark jobs and zero extra scans on the commit
+  * path (the streaming restatement of the reference validating inside the
+  * pipeline, app.py:50-51; GuardianStream.publishQuality).
+  *
+  * Result: map<window_start_micros, [n, len_min, len_max, len_sum,
+  * len_sumsq, n_pii]> over the epoch's rows. Window assignment is
+  * `floorDiv(ts_micros, windowUs) * windowUs` — identical to Spark's
+  * `window(ts, w)` start for fixed (month-free) durations with no offset,
+  * which is what `readQuality`'s stream≡batch equality test relies on.
+  * All six statistics are exact integers (sumsq of 31-bit lengths over
+  * any realistic epoch stays far below 2^63), so partials from different
+  * epochs merge bit-exactly.
+  *
+  * The buffer is a primitive-keyed HashMap bounded by the number of
+  * DISTINCT event-time windows touched by one micro-batch — thousands at
+  * most, independent of row count.
+  */
+case class WindowStatsAgg(
+    ts: Expression,
+    len: Expression,
+    pii: Expression,
+    windowUs: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[java.lang.Long, Array[Long]]] {
+
+  require(windowUs > 0, "windowUs must be positive")
+
+  override def children: Seq[Expression] = Seq(ts, len, pii)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    MapType(LongType, ArrayType(LongType, containsNull = false), valueContainsNull = false)
+
+  override def createAggregationBuffer(): java.util.HashMap[java.lang.Long, Array[Long]] =
+    new java.util.HashMap[java.lang.Long, Array[Long]]()
+
+  private def slot(
+      buf: java.util.HashMap[java.lang.Long, Array[Long]], ws: Long): Array[Long] = {
+    var a = buf.get(ws)
+    if (a == null) {
+      a = Array(0L, Long.MaxValue, Long.MinValue, 0L, 0L, 0L)
+      buf.put(ws, a)
+    }
+    a
+  }
+
+  override def update(
+      buf: java.util.HashMap[java.lang.Long, Array[Long]],
+      input: InternalRow): java.util.HashMap[java.lang.Long, Array[Long]] = {
+    val tsv = ts.eval(input)
+    val lv = len.eval(input)
+    if (tsv != null && lv != null) {
+      val us = tsv.asInstanceOf[Long]
+      val l = lv.asInstanceOf[Int].toLong
+      val p = pii.eval(input)
+      val ws = Math.floorDiv(us, windowUs) * windowUs
+      val a = slot(buf, ws)
+      a(0) += 1L
+      if (l < a(1)) a(1) = l
+      if (l > a(2)) a(2) = l
+      a(3) += l
+      a(4) += l * l
+      if (p != null && p.asInstanceOf[Boolean]) a(5) += 1L
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[java.lang.Long, Array[Long]],
+      other: java.util.HashMap[java.lang.Long, Array[Long]]): java.util.HashMap[java.lang.Long, Array[Long]] = {
+    other.forEach { (ws, b) =>
+      val a = slot(buf, ws)
+      a(0) += b(0)
+      if (b(1) < a(1)) a(1) = b(1)
+      if (b(2) > a(2)) a(2) = b(2)
+      a(3) += b(3)
+      a(4) += b(4)
+      a(5) += b(5)
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[java.lang.Long, Array[Long]]): Any = {
+    val n = buf.size()
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey.longValue()
+      vals(i) = new GenericArrayData(e.getValue)
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def serialize(buf: java.util.HashMap[java.lang.Long, Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 7 * 8)
+    bb.putInt(buf.size())
+    buf.forEach { (ws, a) =>
+      bb.putLong(ws)
+      var i = 0
+      while (i < 6) { bb.putLong(a(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[java.lang.Long, Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.HashMap[java.lang.Long, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      val ws = bb.getLong
+      val a = new Array[Long](6)
+      var j = 0
+      while (j < 6) { a(j) = bb.getLong; j += 1 }
+      buf.put(ws, a)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WindowStatsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WindowStatsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WindowStatsAgg =
+    copy(ts = newChildren(0), len = newChildren(1), pii = newChildren(2))
+}
+
+object WindowStatsAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  /** `map<window_start_us, [n, min, max, sum, sumsq, n_pii]>` column over
+    * (timestamp, int length, boolean pii) with a fixed window duration.
+    */
+  def column(ts: Column, len: Column, pii: Column, windowUs: Long): Column =
+    CatalystBridge.column(
+      WindowStatsAgg(
+        CatalystBridge.expression(ts),
+        CatalystBridge.expression(len),
+        CatalystBridge.expression(pii),
+        windowUs).toAggregateExpression())
+}

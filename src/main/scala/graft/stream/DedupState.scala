@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.model.Turn
 
@@ -133,14 +133,17 @@ object DedupState {
     var maxEventMs = prev.maxEventMs
     // Engines drop late rows automatically only for windowed aggregations;
     // for arbitrary stateful ops the contract is explicit: a turn whose
-    // event time is behind the current watermark is LATE and dropped
-    // (documented north-star late-data semantics). Batch runs have
-    // watermark = -1 ⇒ nothing is late.
+    // event time is at-or-behind the current watermark is LATE and
+    // dropped — `ms <= wm`, the SAME boundary Spark's built-in stateful
+    // operators use (WatermarkSupport.watermarkExpression plans
+    // LessThanOrEqual for the late-event filter), so this path and
+    // `dedupRows` agree bit-for-bit. Batch runs have watermark ≤ 0 ⇒
+    // nothing is late.
     val wmMs = state.getCurrentWatermarkMs()
     val out = scala.collection.mutable.ArrayBuffer.empty[Turn]
     turns.foreach { t =>
       val ms = t.ts.getTime
-      if (wmMs <= 0 || ms >= wmMs) {
+      if (wmMs <= 0 || ms > wmMs) {
         if (seen.add(turnHash(t))) out += t
         if (ms > maxEventMs) maxEventMs = ms
       }
@@ -157,6 +160,58 @@ object DedupState {
       }
     }
     out.iterator
+  }
+
+  /** Row-level streaming dedup — the pipeline's HOT-PATH dedup stage
+    * (round-2 verdict: the fMGWS path below shuffled the full `Turn`
+    * including `text` into the state operator and paid a per-group sort
+    * plus one object decode/encode per row, and that stage was the
+    * measured memory-bandwidth bottleneck at 32 threads).
+    *
+    * This path keeps the SAME observable semantics but runs entirely at
+    * the `InternalRow` level through Spark's built-in streaming
+    * deduplicate operator:
+    *
+    *  - duplicate key = (conv_id, xxhash64(turn_idx, text)) — the same
+    *    64-bit-conflation contract the fMGWS path documents (two distinct
+    *    turns colliding at p ≈ 2⁻⁶⁴ would be conflated; dedup is on the
+    *    hash, not bit-exact membership). The hash is computed in
+    *    whole-stage codegen BEFORE the shuffle, so only ~40-byte keys are
+    *    ever compared or stored;
+    *  - NO per-group sort and NO object codec: `dropDuplicatesWithinWatermark`
+    *    plans `StreamingDeduplicateWithinWatermarkExec`, which streams
+    *    UnsafeRows through with one state-store lookup per row (the
+    *    fMGWS path must first cluster AND sort each 2M-row micro-batch
+    *    by group key — with `text` riding every sorted row);
+    *  - skew: the shuffle key includes the text hash, so a hot
+    *    million-turn conversation spreads uniformly over ALL state
+    *    partitions — strictly better than the salt-bucket spreading of
+    *    the fMGWS path, with no knob;
+    *  - late rows are dropped by the operator's built-in late-event
+    *    filter. Spark's stateful operators filter with the PREVIOUS
+    *    batch's watermark (`eventTimeWatermarkForLateEvents` lags one
+    *    batch — the same contract windowed aggregations have), where
+    *    `dedupFn` uses the current one; the two paths agree except for a
+    *    one-epoch grace window on freshly-advanced watermarks;
+    *  - state per key expires once the eviction watermark passes
+    *    `ts + watermarkDelay`. Eviction in epoch B uses watermark(B) and
+    *    the late filter of any later epoch B' uses watermark(B'-1) ≥
+    *    watermark(B) ≥ ts + delay > ts, so a replay of an evicted key is
+    *    always late-dropped — the lagged eviction and the lagged late
+    *    filter move in lockstep, and eviction can never re-admit a
+    *    duplicate (the same argument the fMGWS TTL makes).
+    *
+    * On a BATCH frame the same semantics degenerate to a plain
+    * hash-aggregate dedup on the key (no watermark, nothing late) —
+    * used by the stream≡batch equivalence tests.
+    */
+  def dedupRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val keyed = df.withColumn("__h", xxhash64(col("turn_idx"), col("text")))
+    val deduped =
+      if (df.isStreaming) keyed.dropDuplicatesWithinWatermark("conv_id", "__h")
+      else keyed.dropDuplicates("conv_id", "__h")
+    deduped.drop("__h")
   }
 
   /** Append-mode dedup stage. Input must already carry an event-time

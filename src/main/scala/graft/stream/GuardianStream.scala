@@ -46,7 +46,19 @@ object GuardianStream {
       turnBucketShift: Int = 8,
       datasetId: String = "transcripts",
       maxFilesPerTrigger: Option[Int] = None,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      // Dedup engine: true (default) = row-level dropDuplicatesWithinWatermark
+      // on (conv_id, xxhash64(turn_idx, text)) — no sort, no object codec,
+      // hash-spread skew; false = the salted flatMapGroupsWithState path
+      // (DedupState.dedup). Same observable semantics either way
+      // (StreamingSpec asserts the equivalence).
+      rowDedup: Boolean = true,
+      // When set, each epoch also lands per-window quality partials
+      // (tumbling `qualityWindow` windows of text_len/PII stats) in a
+      // `quality/` IceLite table next to the audit data — the streaming
+      // restatement of the reference validating INSIDE the pipeline
+      // (app.py:50-51). None disables the quality sink.
+      qualityWindow: Option[String] = Some("1 hour"))
 
   /** The per-batch text-length spec driving the micro-batch validation
     * report (the streaming analog of validate_dataset's fixed ranges,
@@ -56,11 +68,150 @@ object GuardianStream {
 
   /** Transform graph shared by batch and streaming (identical semantics —
     * used by the batch-equivalence tests).
+    *
+    * Dedup stage: `cfg.rowDedup` picks the row-level
+    * `dropDuplicatesWithinWatermark` path (default — no sort, no object
+    * codec; see DedupState.dedupRows) or the salted
+    * flatMapGroupsWithState path; both collapse exact replays and drop
+    * late rows identically (StreamingSpec "row-level dedup ≡ fMGWS").
     */
   def transforms(turns: org.apache.spark.sql.Dataset[Turn], cfg: StreamConfig): DataFrame = {
-    val deduped = DedupState.dedup(turns, cfg.turnBucketShift)
-    val embedded = Watermarker.embedTurnTs(deduped.toDF, cfg.watermarkPayload)
+    val deduped =
+      if (cfg.rowDedup) DedupState.dedupRows(turns.toDF)
+      else DedupState.dedup(turns, cfg.turnBucketShift).toDF
+    val embedded = Watermarker.embedTurnTs(deduped, cfg.watermarkPayload)
     Windows.withQualityFlags(embedded)
+  }
+
+  private def qualityRoot(cfg: StreamConfig): String =
+    java.nio.file.Paths.get(cfg.sinkDir, "quality").toString
+
+  private def qualityManifestPath(root: String, batchId: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "manifests", f"manifest-$batchId%09d.json")
+
+  /** Per-epoch quality-window partials, published exactly-once to the
+    * `quality/` manifest table next to the audit data — the streaming
+    * restatement of the reference validating INSIDE the pipeline
+    * (app.py:50-51): every committed epoch lands its drift-window
+    * statistics in the same audit sink, not in a separate batch job.
+    *
+    * Design for the commit path's cost discipline:
+    *  - the partials are aggregated from the epoch's own COMMITTED
+    *    parquet files (a 3-column pruned scan of data the page cache
+    *    still holds — never a second evaluation of the transform
+    *    pipeline, never a second source scan);
+    *  - the per-epoch result is TINY (one row per touched event-time
+    *    window: count/min/max/sum/sumsq/pii as exact integers), so it is
+    *    collected and inlined in the epoch's quality MANIFEST — one agg
+    *    job, zero extra write jobs, zero extra footer sweeps;
+    *  - `readQuality` merges the partials exactly (integer arithmetic),
+    *    so a window spanning micro-batches reassembles bit-for-bit — the
+    *    append-partials + merge-on-read pattern streaming writers use on
+    *    Iceberg tables; no second stateful operator in the query graph.
+    *
+    * Exactly-once: idempotent by quality-manifest existence (same atomic
+    * CommitIO publish the audit manifests use), published AFTER the main
+    * manifest; a crash between the two publishes is healed on the
+    * epoch's redelivery (processBatch re-runs only this step).
+    */
+  private def publishQuality(
+      spark: SparkSession,
+      cfg: StreamConfig,
+      batchId: Long,
+      observed: Option[scala.collection.Map[Long, scala.collection.Seq[Long]]]): Unit = {
+    val window = cfg.qualityWindow.getOrElse(return)
+    val root = qualityRoot(cfg)
+    if (IceLite.isCommitted(root, batchId)) return
+    val winUs = windowMicros(window)
+    // (window_start_us, [n, min, max, sum, sumsq, npii]) per touched window
+    val partials: Seq[(Long, Seq[Long])] = observed match {
+      case Some(m) => m.toSeq.map { case (ws, a) => ws -> a.toSeq }
+      case None =>
+        // Recovery path only (crash between the main and quality
+        // publishes, epoch redelivered): re-derive the partials from the
+        // epoch's committed parquet. An empty epoch has no data files —
+        // publish an empty partials manifest.
+        val dataDir =
+          java.nio.file.Paths.get(cfg.sinkDir, "data", s"batch=$batchId").toString
+        val hasFiles = Option(new java.io.File(dataDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (!hasFiles) Seq.empty
+        else {
+          val len = col("text_len").cast("long")
+          spark.read.parquet(dataDir)
+            .agg(graft.expressions.WindowStatsAgg.column(
+              col("ts"), col("text_len"), col("has_pii"), winUs).as("qwin"))
+            .collect()(0)
+            .getMap[Long, scala.collection.Seq[Long]](0)
+            .toSeq.map { case (ws, a) => ws -> a.toSeq }
+        }
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("batch_id", batchId)
+    node.put("dataset_id", s"${cfg.datasetId}-quality")
+    node.put("window", window)
+    val arr = node.putArray("partials")
+    partials.sortBy(_._1).foreach { case (ws, a) =>
+      val pn = arr.addObject()
+      pn.put("ws_us", ws); pn.put("we_us", ws + winUs)
+      pn.put("n_turns", a(0))
+      pn.put("len_min", a(1)); pn.put("len_max", a(2))
+      pn.put("len_sum", a(3)); pn.put("len_sumsq", a(4))
+      pn.put("n_pii", a(5))
+    }
+    IceLite.commitIO.publishIfAbsent(
+      qualityManifestPath(root, batchId), mapper.writeValueAsString(node))
+    ()
+  }
+
+  /** Merged view of the per-epoch quality partials: one row per closed
+    * tumbling window with the same statistics Windows.driftWindows
+    * computes in batch (minus the HLL conv sketch — partial HLLs are not
+    * SQL-mergeable). count/min/max/sum/sumsq partials merge EXACTLY
+    * (integer arithmetic), so this equals the batch aggregation
+    * bit-for-bit — asserted by StreamingSpec. Driver-side manifest parse
+    * (the partial table is tiny: epochs × touched windows).
+    */
+  def readQuality(spark: SparkSession, sinkDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sinkDir, "quality").toString
+    val batches = IceLite.committedBatches(root)
+    require(batches.nonEmpty, s"quality table at $root has no committed epochs")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    batches.foreach { b =>
+      val node = mapper.readTree(
+        java.nio.file.Files.readString(qualityManifestPath(root, b)))
+      node.get("partials").elements().forEachRemaining { pn =>
+        rows.add(org.apache.spark.sql.Row(
+          pn.get("ws_us").asLong(), pn.get("we_us").asLong(),
+          pn.get("n_turns").asLong(), pn.get("len_min").asLong(),
+          pn.get("len_max").asLong(), pn.get("len_sum").asLong(),
+          pn.get("len_sumsq").asLong(), pn.get("n_pii").asLong()))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("ws_us", LongType), StructField("we_us", LongType),
+      StructField("n_turns", LongType), StructField("len_min", LongType),
+      StructField("len_max", LongType), StructField("len_sum", LongType),
+      StructField("len_sumsq", LongType), StructField("n_pii", LongType)))
+    val p = spark.createDataFrame(rows, schema)
+    val n = sum(col("n_turns"))
+    val s = sum(col("len_sum")).cast("double")
+    val sq = sum(col("len_sumsq")).cast("double")
+    p.groupBy(
+        timestamp_micros(col("ws_us")).as("wstart"),
+        timestamp_micros(col("we_us")).as("wend"))
+      .agg(
+        n.as("n_turns"),
+        min(col("len_min")).as("len_min"),
+        max(col("len_max")).as("len_max"),
+        (s / n).as("len_mean"),
+        when(n < 2, 0.0)
+          .otherwise(sqrt(greatest(lit(0.0), (sq - s * s / n) / (n - 1))))
+          .as("len_std"),
+        sum(col("n_pii")).as("n_pii"))
   }
 
   /** Validate one micro-batch and commit it exactly-once.
@@ -75,18 +226,30 @@ object GuardianStream {
     * preserving the invisible-until-committed invariant.
     */
   def processBatch(batch: DataFrame, batchId: Long, cfg: StreamConfig): Unit = {
-    if (IceLite.isCommitted(cfg.sinkDir, batchId)) return
+    if (IceLite.isCommitted(cfg.sinkDir, batchId)) {
+      // Epoch already visible (foreachBatch redelivery) — but a crash
+      // between the main and quality publishes must still be healed.
+      publishQuality(batch.sparkSession, cfg, batchId, observed = None)
+      return
+    }
     val obs = org.apache.spark.sql.Observation(s"guardian-$batchId")
+    val baseMetrics = Seq(
+      count(lit(1)).as("n"),
+      min(col("text_len")).as("lmin"),
+      max(col("text_len")).as("lmax"),
+      sum(col("text_len").cast("double")).as("lsum"),
+      sum(col("text_len").cast("double") * col("text_len")).as("lsumsq"),
+      sum(col("has_pii").cast("long")).as("npii"))
+    // The per-window quality partials ride the SAME write job as one
+    // custom aggregate (graft.expressions.WindowStatsAgg) — the epoch's
+    // drift-window statistics cost zero extra jobs and zero extra scans.
+    val qualityMetric = cfg.qualityWindow.map(w =>
+      graft.expressions.WindowStatsAgg.column(
+        col("ts"), col("text_len"), col("has_pii"), windowMicros(w)).as("qwin"))
+    val metrics = baseMetrics ++ qualityMetric
     val stamped = batch
       .withColumn("pid", spark_partition_id())
-      .observe(
-        obs,
-        count(lit(1)).as("n"),
-        min(col("text_len")).as("lmin"),
-        max(col("text_len")).as("lmax"),
-        sum(col("text_len").cast("double")).as("lsum"),
-        sum(col("text_len").cast("double") * col("text_len")).as("lsumsq"),
-        sum(col("has_pii").cast("long")).as("npii"))
+      .observe(obs, metrics.head, metrics.tail: _*)
     val dataDir = IceLite.writeData(stamped, cfg.sinkDir, batchId)
 
     val m = obs.get
@@ -126,6 +289,19 @@ object GuardianStream {
           "text_len_mean" -> c.actual_mean.toString),
       timestamp = Some(batchId.toDouble))
     IceLite.publish(cfg.sinkDir, batchId, lineage, parts)
+    publishQuality(batch.sparkSession, cfg, batchId,
+      observed = qualityMetric.map(_ =>
+        m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]))
+  }
+
+  /** Fixed duration string → microseconds (month-bearing intervals have no
+    * fixed length and are rejected — tumbling quality windows need one).
+    */
+  private[stream] def windowMicros(w: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w))
+    require(iv.months == 0, s"quality window must be a fixed duration: $w")
+    iv.days * 86400000000L + iv.microseconds
   }
 
   /** Build the validate_dataset report for the text_len spec from the

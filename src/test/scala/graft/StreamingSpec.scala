@@ -75,6 +75,95 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("conv_id", "turn_idx").distinct().count() == base.count())
   }
 
+  test("row-level dedup equals the fMGWS dedup across micro-batches") {
+    val base = turnsDF(TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 33))
+    val withDups = DeterministicGen.withDuplicates(base, dupPermille = 200, seed = 33)
+    // batch 0: turns 0..5 ; batch 1: turns 4..9 (cross-batch replays of
+    // turns 4,5 PLUS same-batch planted duplicates)
+    val src = tmp("eq-src")
+    writeBatches(src, Seq(
+      withDups.filter(col("turn_idx") <= 5),
+      withDups.filter(col("turn_idx") >= 4)))
+    val a = runFileStream(src, tmp("eq-ckA"),
+      ds => DedupState.dedup(ds, turnBucketShift = 2).toDF, "eq_fmgws",
+      watermarkDelay = "365 days")
+    val b = runFileStream(src, tmp("eq-ckB"),
+      ds => DedupState.dedupRows(ds.toDF), "eq_rows",
+      watermarkDelay = "365 days")
+    assert(a.count() == base.count(), "fMGWS path: each turn exactly once")
+    assert(b.count() == base.count(), "row path: each turn exactly once")
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
+  test("row-level dedup drops late rows behind the watermark") {
+    val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
+      stepSeconds = 60, burstLen = 100)
+    val base = turnsDF(spec)
+    val maxTs = base.agg(max("ts")).collect()(0).getTimestamp(0)
+    val lateTs = new java.sql.Timestamp(maxTs.getTime - 10L * 3600 * 1000)
+    val late = Seq(Turn("conv-late", 0, "user", "too late", "", lateTs)).toDF
+    val onTime = Seq(Turn("conv-ontime", 0, "user", "still on time", "",
+      new java.sql.Timestamp(maxTs.getTime + 60000))).toDF
+    // Spark's built-in stateful late filter uses the PREVIOUS batch's
+    // watermark (one-batch lag; eviction lags identically, so a replay of
+    // an evicted key is always still caught) — the middle on-time batch
+    // lets the advanced watermark take effect before the late row arrives.
+    val src = tmp("rowlate-src")
+    writeBatches(src, Seq(base, onTime, late))
+    val out = runFileStream(src, tmp("rowlate-ck"),
+      ds => DedupState.dedupRows(ds.toDF), "rowlate_out",
+      watermarkDelay = "10 minutes")
+    assert(out.filter(col("conv_id") === "conv-late").count() == 0, "late row dropped")
+    assert(out.count() == base.count() + 1)
+  }
+
+  test("quality windows land in the audit sink and merge to the batch aggregation") {
+    import graft.validate.Validator
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 34,
+      stepSeconds = 120, burstLen = 1000, piiPermille = 100)
+    val base = turnsDF(spec)
+    val withDups = DeterministicGen.withDuplicates(base, dupPermille = 150, seed = 34)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("qw-src")
+    writeBatches(src, Seq(
+      withDups.filter(unix_timestamp(col("ts")) <= mid),
+      withDups.filter(unix_timestamp(col("ts")) > mid)))
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("qw-ck"), sinkDir = tmp("qw-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    // per-epoch partials exist for every committed epoch
+    val qRoot = java.nio.file.Paths.get(cfg.sinkDir, "quality").toString
+    assert(IceLite.committedBatches(qRoot).nonEmpty)
+
+    // merged view ≡ the same aggregation over the batch-transformed input
+    val streamed = GuardianStream.readQuality(spark, cfg.sinkDir)
+    val batchFlags = GuardianStream.transforms(withDups.as[Turn], cfg)
+    val expected = batchFlags
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("text_len")).as("len_min"),
+        max(col("text_len")).as("len_max"),
+        Validator.meanExpr(col("text_len")).as("len_mean"),
+        Validator.stdExpr(col("text_len")).as("len_std"),
+        sum(col("has_pii").cast("long")).as("n_pii"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("n_turns"), col("len_min"), col("len_max"),
+        col("len_mean"), col("len_std"), col("n_pii"))
+    def canon(df: DataFrame): Set[String] = df.select(
+      col("wstart"), col("wend"), col("n_turns"), col("len_min"),
+      col("len_max"), round(col("len_mean"), 4), round(col("len_std"), 4),
+      col("n_pii")).collect().map(_.toString).toSet
+    val s = canon(streamed); val e = canon(expected)
+    assert(e.nonEmpty && s == e,
+      s"merged quality windows equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
+  }
+
   test("late rows behind the watermark are dropped") {
     val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
       stepSeconds = 60, burstLen = 100)
