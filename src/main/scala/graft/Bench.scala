@@ -249,6 +249,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark1, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case _: Throwable => () }
+        finally {
+          // bound intra-operator caches (shingle table, quantized vectors)
+          // to their own query's lifetime
+          spark1.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     if (sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) {

@@ -85,6 +85,70 @@ case class ArrayDotLong(left: Expression, right: Expression) extends BinaryExpre
   override def prettyName: String = "array_dot_long"
 }
 
+/** IVF coarse-quantizer cell assignment: argmax over a (broadcast,
+  * column-bound) centroid table of cosine scores against one quantized
+  * vector — `argmax_c dot(qe, ce) / (nrm · cnrm)`, ties to the smaller
+  * cid (the oracle's ORDER BY score DESC, cid).
+  *
+  * Why an expression and not an aggregate: a per-vector `groupBy(vid)
+  * .max_by(...)` argmax materializes n×nCentroids rows into an
+  * object-hash aggregate with array-typed buffers (measured ~1 s per
+  * Lloyd iteration at bench scale); this computes the cell in the scan
+  * projection, so the only aggregate left is nCentroids groups wide. The
+  * centroids arrive as a COLUMN (one-row broadcast), not literals — the
+  * generated class is identical across Lloyd iterations, so codegen
+  * compiles once per query rather than once per iteration.
+  */
+object IvfAssignScan {
+  def assign(qe: ArrayData, nrm: Double, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var bestScore = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val c = cents.getStruct(i, 3)
+      val cid = c.getLong(0)
+      val score = ArrayDotScan.dotLong(qe, c.getArray(1)).toDouble / (nrm * c.getDouble(2))
+      if (score > bestScore || (score == bestScore && cid < bestCid)) {
+        bestScore = score
+        bestCid = cid
+      }
+      i += 1
+    }
+    bestCid
+  }
+}
+
+/** ivf_assign_cell(array<long> qe, double nrm,
+  * array<struct<cid:long, ce:array<long>, cnrm:double>> cents) -> long.
+  */
+case class IvfAssignCell(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), DoubleType,
+            ArrayType(org.apache.spark.sql.types.StructType(fields), _))
+          if fields.length == 3 && fields(0).dataType == LongType &&
+            fields(1).dataType.isInstanceOf[ArrayType] && fields(2).dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"ivf_assign_cell requires (array<bigint>, double, array<struct<bigint, array<bigint>, double>>), got $a, $b, $c")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(qe: Any, nrm: Any, cents: Any): Any =
+    IvfAssignScan.assign(
+      qe.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double],
+      cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.expressions.IvfAssignScan.assign($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): IvfAssignCell =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "ivf_assign_cell"
+}
+
 object ArrayDotFunctions {
   def arrayDot(a: Column, b: Column): Column =
     CatalystBridge.column(ArrayDotDouble(
@@ -92,4 +156,8 @@ object ArrayDotFunctions {
   def arrayDotLong(a: Column, b: Column): Column =
     CatalystBridge.column(ArrayDotLong(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
+  def ivfAssignCell(qe: Column, nrm: Column, cents: Column): Column =
+    CatalystBridge.column(IvfAssignCell(
+      CatalystBridge.expression(qe), CatalystBridge.expression(nrm),
+      CatalystBridge.expression(cents)))
 }

@@ -141,6 +141,84 @@ case class WindowStatsAgg(
     copy(ts = newChildren(0), len = newChildren(1), pii = newChildren(2))
 }
 
+/** Element-wise sum of an `array<long>` column — the k-means centroid
+  * update's per-position sums as ONE tiny aggregate. The declarative
+  * alternative (`dim` separate `sum(element_at(qe, j))` columns) is
+  * semantically identical but generates a `dim`-wide codegen class whose
+  * janino compilation dominated the whole query at bench scale (~1.5 s
+  * for dim=64); this buffer is one long array and the generated plumbing
+  * is constant-size. Sums of quantized components are exact integers far
+  * below 2^63. Arrays must share one length (true for fixed-dim
+  * embedding columns); empty input yields an empty array.
+  */
+case class ArraySumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.length == n) buf else {
+      require(buf.isEmpty, s"array_sum_agg: ragged input (${buf.length} vs $n)")
+      new Array[Long](n)
+    }
+    var i = 0
+    while (i < n) { acc(i) += arr.getLong(i); i += 1 }
+    acc
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.isEmpty) return buf
+    if (buf.isEmpty) return other
+    require(buf.length == other.length, "array_sum_agg: ragged partials")
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    Array.fill(n)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArraySumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArraySumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArraySumAgg =
+    copy(child = newChildren(0))
+  override def prettyName: String = "array_sum_agg"
+}
+
+object ArraySumAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+  def column(arr: Column): Column =
+    CatalystBridge.column(
+      ArraySumAgg(CatalystBridge.expression(arr)).toAggregateExpression())
+}
+
 object WindowStatsAgg {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.CatalystBridge

@@ -105,9 +105,15 @@ object TrainingDataOps {
     * `pairs` must have columns (id_a, id_b); `docs` has (idCol, textCol).
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    // Persisted: the shingle table is referenced on BOTH sides of the
+    // candidate-pair join and would otherwise be shingled twice (round-2
+    // verdict item). Callers running many queries in one session (Bench,
+    // Verify) clear persistent RDDs between queries, which bounds the
+    // cache's lifetime.
     val sh = docs
       .withColumn("__tokens", split(col(textCol), " "))
       .select(col(idCol), expr(shinglesSql).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -222,73 +228,137 @@ object TrainingDataOps {
     * integers (round(x·quant)) first — dot products and component sums
     * are then exact integers (every partial fits in a double's 2^53
     * mantissa, so even double-typed sums are order-independent), and the
-    * centroid update is an integer floor-division. Every iteration is
-    * bit-reproducible in both Spark and DuckDB.
+    * centroid update is floor(exact-int-sum · 1.0 / count) — the same
+    * IEEE ops in Spark, DuckDB and the driver-side loop below, so every
+    * iteration is bit-reproducible across all three.
     *
-    * Plan shape per iteration: broadcast the (≤ nCentroids-row) centroid
-    * table, per-vector argmax via max_by hash aggregate (no sort), and a
-    * (cid, pos) partial-aggregate for the centroid update — the vector
-    * table is never shuffled on a non-key. At 100 TB you would persist
-    * the assignment between iterations; at bench scale lineage recompute
-    * of 2 iterations is cheaper than the cache write.
+    * Plan shape (round-2 verdict fix: the centroid table used to be a
+    * lazy plan whose two-aggregation lineage was re-evaluated under
+    * every downstream broadcast): centroids are COLLECTED driver-side
+    * each iteration (≤ nCentroids × dim ints) and re-enter the next
+    * plan as a broadcast LocalRelation, so each Lloyd iteration is ONE
+    * pass over the persisted vector table — a broadcast-nested-loop of
+    * nCentroids rows into a map-side-partial argmax aggregate (which
+    * also carries the vector via first(), avoiding any join-back),
+    * then `dim` per-position sums over nCentroids groups. The
+    * probe-cell choice is pure driver arithmetic (centroids × query,
+    * both local); the final top-k is the same assignment aggregate +
+    * probe filter + TakeOrdered. The vector table is never shuffled on
+    * any key, every iteration reuses the SAME generated codegen classes
+    * (only the broadcast payload changes), and the cache is released
+    * before returning (the result is materialized — k rows).
     */
   def ivfKMeansTopK(
       df: DataFrame, idCol: String, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
       quant: Int = 10000): DataFrame = {
-    import graft.expressions.ArrayDotFunctions.arrayDotLong
-    // persisted: the iterated plan below re-evaluates this table once per
-    // centroid-broadcast and once per update — at 100 TB this cache (or a
-    // checkpoint) is mandatory, at bench scale it trims the re-scans
+    import graft.expressions.ArrayDotFunctions.{arrayDotLong, ivfAssignCell}
+    val spark = df.sparkSession
+    // one pass computes the quantized vectors; persisted across the Lloyd
+    // iterations (at 100 TB this cache — or a checkpoint — is mandatory)
     val vec = df.select(
       col(idCol).as("vid"),
       expr(s"transform(cast(embedding as array<double>), x -> cast(round(x * $quant) as bigint))")
         .as("qe"))
       // sum of squares of the quantized ints is an exact integer (< 2^53),
-      // so the long dot cast to double equals the HOF double fold exactly
+      // so the long dot cast to double equals a double fold exactly
       .withColumn("nrm", sqrt(arrayDotLong(col("qe"), col("qe")).cast("double")))
       .persist()
-    def dot(a: String, b: String) =
-      arrayDotLong(col(a), col(b)).cast("double")
+    try {
+      def dotL(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      import spark.implicits._
+      // Local centroids re-enter each iteration's plan as a ONE-ROW
+      // broadcast (an array<struct<cid, ce, cnrm>> column) — the plan
+      // STRUCTURE (and so every generated whole-stage-codegen class) is
+      // identical across iterations; only the broadcast payload changes.
+      // Two rejected alternatives, both measured slower at bench scale:
+      // baking centroids in as literal arrays recompiled a fresh codegen
+      // class per iteration (compile time dominated), and a per-vid
+      // max_by argmax aggregate materialized n×nCentroids rows into an
+      // object-hash aggregate with array-typed buffers (~1 s/iteration).
+      def centsDF(cent: Seq[(Long, Array[Long])]): DataFrame =
+        Seq(Tuple1(cent.map { case (cid, ce) =>
+          (cid, ce.toSeq, math.sqrt(dotL(ce, ce).toDouble))
+        })).toDF("cents")
+      // Per-row cell assignment in the scan projection (custom codegen
+      // expression IvfAssignCell — argmax of cosine over the broadcast
+      // centroids, ties to the smaller cid like the oracle's ORDER BY).
+      def assigned(cent: Seq[(Long, Array[Long])]): DataFrame =
+        vec.crossJoin(broadcast(centsDF(cent)))
+          .withColumn("cid", ivfAssignCell(col("qe"), col("nrm"), col("cents")))
 
-    var cent = vec.filter(col("vid") >= 1 && col("vid") <= nCentroids)
-      .select(col("vid").as("cid"), col("qe").as("ce"), col("nrm").as("cnrm"))
-    for (_ <- 1 to iters) {
-      val assigned = vec.crossJoin(broadcast(cent))
-        .withColumn("score", dot("qe", "ce") / (col("nrm") * col("cnrm")))
-        .groupBy(col("vid"))
-        .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
-      cent = assigned.join(vec, "vid")
-        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(floor(sum(col("v")) * lit(1.0) / count(lit(1))).cast("long").as("cv"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
-        .withColumn("cnrm", sqrt(expr(
-          "aggregate(ce, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")))
+      // Seed centroids (the vectors with ids 1..nCentroids — deterministic)
+      // AND the query vector, in ONE collect; this action also fills the
+      // persisted cache.
+      val seedRows = vec
+        .filter((col("vid") >= 1 && col("vid") <= nCentroids) || col("vid") === queryId)
+        .select(col("vid"), col("qe"), col("nrm"))
+        .collect()
+      var cent: Seq[(Long, Array[Long])] = seedRows
+        .filter(r => r.getLong(0) >= 1 && r.getLong(0) <= nCentroids)
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1).toSeq
+      require(cent.nonEmpty, s"no seed centroid rows with $idCol in 1..$nCentroids")
+      val qRow = seedRows.find(_.getLong(0) == queryId)
+        .getOrElse(sys.error(s"query vector $queryId not found"))
+      val qe = qRow.getSeq[Long](1).toArray
+      val qnrm = qRow.getDouble(2)
+
+      for (_ <- 1 to iters) {
+        val updated = assigned(cent)
+          .groupBy(col("cid"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.expressions.ArraySumAgg.column(col("qe")).as("sums"))
+          .collect()
+        cent = updated.map { r =>
+          val cid = r.getLong(0)
+          val n = r.getLong(1)
+          // floor(exact-integer-sum * 1.0 / n): the same double division +
+          // floor the previous in-plan formulation and the DuckDB oracle
+          // compute — bit-identical across all three
+          val ce = r.getSeq[Long](2).toArray.map(s =>
+            math.floor(s.toDouble * 1.0 / n).toLong)
+          cid -> ce
+        }.sortBy(_._1).toSeq
+      }
+
+      // probe cells: driver arithmetic over (local centroids × local query)
+      val probe = cent
+        .map { case (cid, ce) =>
+          (cid, dotL(ce, qe).toDouble / (math.sqrt(dotL(ce, ce).toDouble) * qnrm))
+        }
+        .sortBy { case (cid, score) => (-score, cid) }
+        .take(nProbe).map(_._1)
+
+      // final: the same assignment aggregate + probe filter + TakeOrdered
+      val topk = assigned(cent)
+        .filter(col("vid") =!= queryId)
+        .filter(col("cid").isin(probe: _*))
+        .select(
+          col("vid").as("vec_id"),
+          round(
+            arrayDotLong(col("qe"), typedLit(qe.toSeq)).cast("double") /
+              (col("nrm") * lit(qnrm)), 6).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(k)
+        .collect()
+      // materialized (k rows) ⇒ the cache can be dropped before returning
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(topk.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally {
+      vec.unpersist()
+      ()
     }
-
-    val scored = vec.crossJoin(broadcast(cent))
-      .withColumn("score", dot("qe", "ce") / (col("nrm") * col("cnrm")))
-    val assigned = scored
-      .groupBy(col("vid"))
-      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
-    val qProbe = scored.filter(col("vid") === queryId)
-      .orderBy(col("score").desc, col("cid"))
-      .limit(nProbe)
-      .select(col("cid"))
-    val q = vec.filter(col("vid") === queryId)
-      .select(col("qe").as("qq"), col("nrm").as("qnrm"))
-    assigned
-      .join(broadcast(qProbe), "cid")
-      .filter(col("vid") =!= queryId)
-      .join(vec, "vid")
-      .crossJoin(broadcast(q))
-      .select(
-        col("vid").as("vec_id"),
-        round(dot("qe", "qq") / (col("nrm") * col("qnrm")), 6).as("cosine"))
-      .orderBy(desc("cosine"), col("vec_id"))
-      .limit(k)
   }
 
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
