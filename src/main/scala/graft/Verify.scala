@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // lang_id's single-pass LexiconCounts is regex-equivalent only on
+    // ASCII corpora (LexiconScan scaladoc: Java's \b is Unicode-aware,
+    // RE2's is not, and the scanner treats high-bit bytes as word chars).
+    // Fail loudly if the fixture ever drifts non-ASCII rather than let
+    // the oracle compare mismatch silently.
+    val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    require(nonAscii == 0,
+      s"documents fixture has $nonAscii non-ASCII rows — lang_id oracle parity would break")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -19,10 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * the same order the HOF fold and DuckDB's `list_dot_product` use, so
   * IEEE results are bit-identical to both.
   *
-  * Length semantics match `zip_with` (pads the shorter side with null ⇒
-  * null products are skipped by the `+` of the fold only when null…): the
-  * engine only ever calls these on equal-length vectors; for safety the
-  * loop runs over min(len(a), len(b)).
+  * Length semantics DIFFER from the replaced HOF on unequal-length
+  * inputs: `zip_with` null-pads the shorter side, which poisons the fold
+  * to null, while this loop silently returns the min-length dot product.
+  * The engine only ever calls these on equal-length vectors (one
+  * embedding column), where the two agree exactly.
   */
 object ArrayDotScan {
   def dotDouble(a: ArrayData, b: ArrayData): Double = {

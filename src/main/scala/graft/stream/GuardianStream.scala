@@ -57,8 +57,16 @@ object GuardianStream {
       // (tumbling `qualityWindow` windows of text_len/PII stats) in a
       // `quality/` IceLite table next to the audit data — the streaming
       // restatement of the reference validating INSIDE the pipeline
-      // (app.py:50-51). None disables the quality sink.
-      qualityWindow: Option[String] = Some("1 hour"))
+      // (app.py:50-51). Free on the commit path (rides the write job's
+      // observe()). None disables the quality sink.
+      qualityWindow: Option[String] = Some("1 hour"),
+      // When set, each epoch also lands per-conversation SESSION quality
+      // partials (session gap = this duration) in a `sessions/` IceLite
+      // table. Unlike the tumbling windows these cannot ride observe()
+      // (per-conversation cardinality), so enabling costs one 4-column
+      // read-back + small write per epoch — a deployment knob, default
+      // off; `readSessionQuality` merges the interval partials exactly.
+      sessionGap: Option[String] = None)
 
   /** The per-batch text-length spec driving the micro-batch validation
     * report (the streaming analog of validate_dataset's fixed ranges,
@@ -166,6 +174,90 @@ object GuardianStream {
     ()
   }
 
+  private def sessionsRoot(cfg: StreamConfig): String =
+    java.nio.file.Paths.get(cfg.sinkDir, "sessions").toString
+
+  /** Per-epoch SESSION-quality partials → `sessions/` IceLite table.
+    *
+    * A session is a gap-delimited run of a conversation's turns; sessions
+    * straddle micro-batches, so the epoch lands MERGEABLE INTERVAL
+    * partials: the epoch's own `session_window` aggregation per
+    * conversation, each row an interval [first_ts, last_ts + gap) with
+    * additive stats. Two partial sessions belong to one true session iff
+    * their intervals overlap (events chain within `gap` ⟺ the next
+    * partial starts before the previous interval's end), so
+    * `readSessionQuality`'s interval-islands merge reconstructs the
+    * batch `Windows.sessionWindows` result exactly — asserted by
+    * StreamingSpec. Per-conversation cardinality rules out the
+    * observe() ride-along the tumbling windows use; enabling this sink
+    * costs one 4-column read-back of the epoch's committed files plus a
+    * small parquet write.
+    */
+  private def publishSessions(
+      spark: SparkSession, cfg: StreamConfig, batchId: Long): Unit = {
+    val gap = cfg.sessionGap.getOrElse(return)
+    val root = sessionsRoot(cfg)
+    if (IceLite.isCommitted(root, batchId)) return
+    val dataDir =
+      java.nio.file.Paths.get(cfg.sinkDir, "data", s"batch=$batchId").toString
+    val hasFiles = Option(new java.io.File(dataDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    val rows: DataFrame =
+      if (hasFiles) spark.read.parquet(dataDir)
+        .select(col("conv_id"), col("ts"), col("text_len"), col("has_pii"))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("conv_id", StringType), StructField("ts", TimestampType),
+          StructField("text_len", IntegerType), StructField("has_pii", BooleanType))))
+    val partials = rows
+      .groupBy(col("conv_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("text_len").cast("long")).as("len_sum"),
+        sum(col("has_pii").cast("long")).as("n_pii"))
+      .select(
+        col("conv_id"), col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("n_turns"), col("len_sum"), col("n_pii"))
+      .withColumn("pid", spark_partition_id())
+    val dir = IceLite.writeData(partials, root, batchId)
+    val lineage = new DataLineage(s"${cfg.datasetId}-sessions", createdAt = 0.0)
+    lineage.record("session_quality", 0L, 0L,
+      Map("epoch" -> batchId.toString, "gap" -> gap),
+      timestamp = Some(batchId.toDouble))
+    IceLite.publish(root, batchId, lineage, IceLite.footerStats(dir))
+    ()
+  }
+
+  /** Merged view of the per-epoch session partials: interval islands per
+    * conversation (sort by start; a partial starting before the running
+    * max end continues the session), then additive stats — equal to the
+    * batch `Windows.sessionWindows` over the same deduped rows.
+    */
+  def readSessionQuality(spark: SparkSession, sinkDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = IceLite.read(spark,
+      java.nio.file.Paths.get(sinkDir, "sessions").toString)
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("s_start"), col("s_end"))
+    val prevEnd = max(col("s_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    p.withColumn("new_session",
+        when(prevEnd.isNull || col("s_start") >= prevEnd, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("conv_id"), col("sid"))
+      .agg(
+        min(col("s_start")).as("session_start"),
+        max(col("s_end")).as("session_end"),
+        sum(col("n_turns")).as("n_turns"),
+        (sum(col("len_sum")).cast("double") / sum(col("n_turns"))).as("len_mean"),
+        sum(col("n_pii")).as("n_pii"))
+      .select(
+        col("conv_id"), col("session_start"), col("session_end"),
+        col("n_turns"), col("len_mean"), col("n_pii"))
+  }
+
   /** Merged view of the per-epoch quality partials: one row per closed
     * tumbling window with the same statistics Windows.driftWindows
     * computes in batch (minus the HLL conv sketch — partial HLLs are not
@@ -228,8 +320,10 @@ object GuardianStream {
   def processBatch(batch: DataFrame, batchId: Long, cfg: StreamConfig): Unit = {
     if (IceLite.isCommitted(cfg.sinkDir, batchId)) {
       // Epoch already visible (foreachBatch redelivery) — but a crash
-      // between the main and quality publishes must still be healed.
+      // between the main and the quality/session publishes must still be
+      // healed.
       publishQuality(batch.sparkSession, cfg, batchId, observed = None)
+      publishSessions(batch.sparkSession, cfg, batchId)
       return
     }
     val obs = org.apache.spark.sql.Observation(s"guardian-$batchId")
@@ -292,6 +386,7 @@ object GuardianStream {
     publishQuality(batch.sparkSession, cfg, batchId,
       observed = qualityMetric.map(_ =>
         m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]))
+    publishSessions(batch.sparkSession, cfg, batchId)
   }
 
   /** Fixed duration string → microseconds (month-bearing intervals have no

@@ -28,10 +28,12 @@ import graft.lineage.DataLineage
   *    output row is traceable to its source micro-batch by (epoch,
   *    partition, conv_id range).
   *
-  * Layout:
+  * Layout (flat — `pid` is a DATA column, not a directory: `partitionBy`
+  * would force a per-batch sort; the file↔partition binding is recovered
+  * from each file's parquet footer stats, min == max on `pid`):
   * {{{
-  *   <root>/data/batch=<epoch>/pid=<p>/part-*.parquet
-  *   <root>/manifests/manifest-<epoch %09d>.json
+  *   <root>/data/batch=<epoch>/part-*.parquet   (pid, conv_id, … columns)
+  *   <root>/manifests/manifest-<epoch %09d>.json ("path": "data/batch=<epoch>")
   * }}}
   */
 /** The filesystem contract the exactly-once commit rests on — ONE
@@ -234,10 +236,18 @@ object IceLite {
     }
     // Footer reads are independent small-file reads — do them in parallel
     // (at 32 shuffle partitions a serial loop adds ~32 × read-latency to
-    // every epoch's commit path).
-    parquetFiles(new java.io.File(dataDir)).toArray
-      .map(f => java.util.concurrent.CompletableFuture.supplyAsync(() => footerOf(f, conf)))
-      .flatMap(_.join())
+    // every epoch's commit path), on a DEDICATED bounded pool: the shared
+    // ForkJoinPool.commonPool is also used elsewhere in a driver JVM, and
+    // an unbounded fan-out (or a blocked common pool) could stall the
+    // commit path.
+    val files = parquetFiles(new java.io.File(dataDir)).toArray
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, files.length)))
+    try {
+      files
+        .map(f => java.util.concurrent.CompletableFuture.supplyAsync(
+          () => footerOf(f, conf), pool))
+        .flatMap(_.join())
       .groupBy(_.pid)
       .map { case (pid, ms) =>
         PartitionManifest(
@@ -248,6 +258,7 @@ object IceLite {
       }
       .toSeq
       .sortBy(_.pid)
+    } finally pool.shutdown()
   }
 
   /** Commit a frame already stamped with a `pid` column, with per-partition

@@ -136,7 +136,9 @@ object Watermarker {
   /** verify_watermark (watermark.py:70-77). Note the reference sizes the
     * extraction by the *character* count of the expected string — mirrored
     * here (bytes ≠ chars only for non-ASCII payloads, where the reference
-    * itself fails verification).
+    * itself fails verification). That divergence is PINNED by
+    * WatermarkPropertySpec ("∀ non-ASCII watermark: verification fails")
+    * so an accidental one-sided "fix" breaks parity loudly.
     */
   def verify(df: DataFrame, expected: String, carrier: String, keys: Seq[String]): WatermarkReport = {
     val extracted = extract(df, expected.length, carrier, keys)

@@ -1,0 +1,82 @@
+package graft
+
+/** Plan-SHAPE regression tests (round-2 verdict item 9): the expensive
+  * queries' physical plans must keep the properties that make them scale —
+  * no cartesian products, top-k via TakeOrderedAndProject instead of a
+  * global sort, broadcasts on the small (bit/centroid/query) tables, one
+  * evaluation of tables referenced from both sides of a join. A future
+  * plan regression (e.g. a lost broadcast hint or a window-function argmax
+  * sneaking back in) fails here instead of only showing up as bench time.
+  *
+  * Plans are built against the driver's sf0.001 parquet fixtures (schema
+  * and statistics realistic, planning instant); the suite is skipped if
+  * the fixture directory is absent.
+  */
+class ExplainSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def available: Boolean = new java.io.File(dir).isDirectory
+
+  private def plan(q: String): String = {
+    assume(available, s"$dir fixtures not present")
+    val df = SparkEntry.queries(q)(spark, dir)
+    val s = df.queryExecution.executedPlan.toString()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    s
+  }
+
+  test("no query plans a CartesianProduct") {
+    // eager/streaming queries excluded: their returned frame is a local
+    // result or a sink read, not the operator's plan
+    val skip = Set("stream_guardian_e2e", "ann_ivf_kmeans_topk", "w_roundtrip")
+    for (q <- SparkEntry.queries.keys if !skip(q)) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("ann_ivf_topk: broadcast centroids/query, hash-agg argmax, top-k without a global sort") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("BroadcastExchange"), "centroid/query tables must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrderedAndProject")
+    assert(!p.contains("Window"), "argmax must stay a hash aggregate, not a window sort (round-1 regression)")
+    assert(p.contains("PushedFilters") && p.contains("vec_id"),
+      "centroid-id filter must push into the parquet scan")
+  }
+
+  test("ann_cosine_topk: broadcast query vector, top-k without a global sort") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("w_roundtrip embed: bit table broadcast, prefix via TakeOrderedAndProject") {
+    assume(available, s"$dir fixtures not present")
+    val embedded = graft.watermark.Watermarker.embed(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "WM01", "l_quantity",
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"))
+    val p = embedded.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 4·|wm|-row bit table must broadcast-join")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join against a constant-size table")
+  }
+
+  test("dedup_minhash_lsh: one evaluation of the signature pipeline, one scan of documents") {
+    val p = plan("dedup_minhash_lsh")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "bucket pairing must not re-evaluate the signature pipeline (self-join would scan twice)")
+  }
+
+  test("dedup_ngram_jaccard: shingle table evaluated once (cached), reused on both join sides") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("InMemoryTableScan"),
+      "the shingle table must come from the persisted relation on both join sides")
+  }
+
+  test("dedup_exact: column pruning reaches the scan") {
+    val p = plan("dedup_exact")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text"), s"text must be read: $read")
+    assert(!read.contains("lang") && !read.contains("n_chars"),
+      s"unused columns must be pruned from the scan: $read")
+  }
+}

@@ -164,6 +164,35 @@ class StreamingSpec extends SparkSpec {
       s"merged quality windows equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
   }
 
+  test("session quality partials merge across epochs to the batch session windows") {
+    val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 24, seed = 35,
+      stepSeconds = 120, burstLen = 6, sessionGapSeconds = 7200, piiPermille = 80)
+    val base = turnsDF(spec)
+    // slice by ts so sessions straddle the epoch boundary (the merge path)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("sq-src")
+    writeBatches(src, Seq(
+      base.filter(unix_timestamp(col("ts")) <= mid),
+      base.filter(unix_timestamp(col("ts")) > mid)))
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("sq-ck"), sinkDir = tmp("sq-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, sessionGap = Some("30 minutes"))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    val streamed = GuardianStream.readSessionQuality(spark, cfg.sinkDir)
+    val expected = Windows.sessionWindows(
+      GuardianStream.transforms(base.as[Turn], cfg), "30 minutes")
+    def canon(df: DataFrame): Set[String] = df.select(
+      col("conv_id"), col("session_start"), col("session_end"),
+      col("n_turns"), round(col("len_mean"), 4), col("n_pii"))
+      .collect().map(_.toString).toSet
+    val s = canon(streamed); val e = canon(expected)
+    assert(e.size > 6, "multiple sessions per conversation in the fixture")
+    assert(s == e, s"merged sessions equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
+  }
+
   test("late rows behind the watermark are dropped") {
     val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
       stepSeconds = 60, burstLen = 100)

@@ -55,6 +55,37 @@ class WatermarkPropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ non-ASCII watermark: verification fails — in the engine AND in the reference's own arithmetic") {
+    // The reference sizes extraction by the CHARACTER count of the
+    // expected string (watermark.py:73) while the embedded bit stream is
+    // the UTF-8 BYTE stream (watermark.py:29-33) — for any multi-byte
+    // payload both the reference and this engine (Watermarker.verify,
+    // which mirrors it) extract too few bytes and fail verification.
+    // This test PINS that divergence so an accidental "fix" on one side
+    // breaks parity loudly instead of silently.
+    val nonAsciiGen: Gen[String] = for {
+      pre <- Gen.stringOfN(2, Gen.choose('A', 'Z'))
+      nb <- Gen.oneOf('é', 'Ω', 'λ', 'ü', '中')
+    } yield pre + nb
+    samples(nonAsciiGen, 8).foreach { wm =>
+      assert(wm.getBytes("UTF-8").length > wm.length, s"fixture must be multi-byte: $wm")
+      val watermarked = Watermarker.embed(carrier200, wm, "salary", Seq("id"))
+      val report = Watermarker.verify(watermarked, wm, "salary", Seq("id"))
+      assert(!report.verified, s"multi-byte payload must fail verification: $wm")
+      // the reference's arithmetic, restated: chars * 8 bits → whole bytes
+      // of the UTF-8 stream = a strict PREFIX of the payload bytes, which
+      // can never re-encode to the full expected string
+      val prefixBytes = wm.getBytes("UTF-8").take(wm.length)
+      assert(new String(prefixBytes.map(b => (b & 0xff).toChar)) != wm)
+      // full-byte-length extraction DOES round-trip (the divergence is the
+      // sizing, not the codec)
+      val full = Watermarker.extract(
+        watermarked, wm.getBytes("UTF-8").length, "salary", Seq("id"))
+      assert(full.toCharArray.map(_.toInt & 0xff).toSeq ==
+        wm.getBytes("UTF-8").map(_ & 0xff).toSeq)
+    }
+  }
+
   test("∀ dataset size below capacity: extraction truncates to whole recoverable bytes") {
     samples(Gen.chooseNum(0, 12), 13).distinct.foreach { n =>
       val few = DeterministicGen.persons(spark, n.toLong, seed = 3)
