@@ -125,7 +125,10 @@ object Bench {
         watermarkDelay = "10 minutes",
         turnBucketShift = 8,
         maxFilesPerTrigger = Some(trig),
-        availableNow = true)
+        availableNow = true,
+        // A/B knob: bench the legacy fMGWS dedup path with
+        // SPARK_GRAFT_ROW_DEDUP=off (default: row-level)
+        rowDedup = !sys.env.get("SPARK_GRAFT_ROW_DEDUP").contains("off"))
       val commitTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -191,8 +194,12 @@ object Bench {
     } finally { quiesceStreamingState(); spark.stop() }
   }
 
-  /** Fork `graft.BenchOne` pinned to `cpus` cores; returns its JSON line. */
-  private def forkPinned(cpus: Int, mode: String, srcDir: String, warmDir: String = ""): String = {
+  /** Fork `graft.BenchOne` pinned to `cores` (defaults to the low range);
+    * returns its JSON line.
+    */
+  private def forkPinned(
+      cpus: Int, mode: String, srcDir: String, warmDir: String = "",
+      cores: String = ""): String = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -205,8 +212,9 @@ object Bench {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val classpath = "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
     val heap = if (cpus <= 8) "12g" else "24g"
+    val pin = if (cores.nonEmpty) cores else s"0-${cpus - 1}"
     val cmd: Seq[String] =
-      Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ addOpens ++ Seq(
+      Seq("taskset", "-c", pin, javaBin) ++ addOpens ++ Seq(
         s"-Xmx$heap", s"-Xms$heap", "-XX:+UseG1GC",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", classpath, "graft.BenchOne", mode, cpus.toString, srcDir, warmDir)
@@ -278,7 +286,11 @@ object Bench {
     val srcDir = tmpDir("bench-src")
     DeterministicGen.transcripts(spark1, spec)
       .repartitionByRange(64, org.apache.spark.sql.functions.col("ts"))
-      .write.mode("overwrite").parquet(srcDir)
+      // snappy for the SOURCE: it sits on tmpfs and is decoded on every
+      // measured scan, where snappy's decode speed wins; the session's
+      // zstd default is for the audit SINK, whose write bandwidth is the
+      // contended resource
+      .write.mode("overwrite").option("compression", "snappy").parquet(srcDir)
     new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
         Files.setLastModifiedTime(f.toPath,
@@ -306,20 +318,31 @@ object Bench {
     // host-weather window, and each fork measures the machine's pure-CPU
     // parallel ceiling inside its own window.
     final case class ForkResult(
-        startEpochSec: Long, calibSec: Double, r: StreamResult)
-    def streamAt(cpus: Int): ForkResult = {
+        startEpochSec: Long, calibSec: Double, r: StreamResult, cores: String)
+    // The 8-fork's pinned range ALTERNATES between the low and high ends
+    // of the socket across pairs: the host's co-tenants have repeatedly
+    // been observed camping on one core range for minutes (round-2 run 6,
+    // the whole round-3 afternoon), crushing whichever level is pinned
+    // there; sampling both placements lets best-per-level dodge a
+    // range-local neighbor, and the placement is disclosed per fork
+    // (`fork_cores`). The 32-fork always takes the full range.
+    def streamAt(cpus: Int, pairIdx: Int = 0): ForkResult = {
+      val cores =
+        if (cpus >= 32) "0-31"
+        else if (pairIdx % 2 == 0) s"${32 - cpus}-31"
+        else s"0-${cpus - 1}"
       val t = System.currentTimeMillis() / 1000
-      val j = forkPinned(cpus, "stream", srcDir, warmDir)
+      val j = forkPinned(cpus, "stream", srcDir, warmDir, cores)
       ForkResult(t, jsonNum(j, "calib_sec"),
         StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"),
-          jsonNum(j, "p99_ms"), jsonArr(j, "commits_ms")))
+          jsonNum(j, "p99_ms"), jsonArr(j, "commits_ms")), cores)
     }
     // 2 pairs + at most one adaptive pair ≈ 5-6.5 min end-to-end — keeps
     // the whole bench safely inside the driver's budget (3 pairs + an
     // adaptive 4th measured 6:54).
     val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
     val basePairs: Seq[(ForkResult, ForkResult)] =
-      (1 to pairRounds).map(_ => (streamAt(8), streamAt(32)))
+      (1 to pairRounds).map(i => (streamAt(8, i), streamAt(32)))
     // Adaptive extra window: the host's other tenants hit 32-thread
     // bandwidth disproportionately (observed 3x swings between adjacent
     // windows while the pure-CPU calib moved 20%); when the measured pair
@@ -329,7 +352,7 @@ object Bench {
     val pairs =
       if (basePairs.length >= 2 &&
           baseEffs.max / math.max(baseEffs.min, 1e-9) > 2.0)
-        basePairs :+ (streamAt(8), streamAt(32))
+        basePairs :+ (streamAt(8, pairRounds + 1), streamAt(32))
       else basePairs
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -379,7 +402,10 @@ object Bench {
     def latAt(c: Int): (Seq[Double], Seq[Double]) =
       if (latRuns <= 0) (Seq.empty, Seq.empty)
       else {
-        val j = forkPinned(c, "lat", srcDir, warmDir)
+        // the 8-level latency fork takes the HIGH core range (the
+        // throughput pairs already sample the low range; see streamAt)
+        val cores = if (c >= 32) "0-31" else s"${32 - c}-31"
+        val j = forkPinned(c, "lat", srcDir, warmDir, cores)
         (jsonArr(j, "commits_ms"), jsonArr(j, "commits_ms_all"))
       }
     val (lat8, lat8All) = latAt(8)
@@ -405,6 +431,7 @@ object Bench {
         f""""steady_tps_local8":${arr(all8.map(_.r.steadyTp), "%.0f")},""" +
         f""""steady_tps_local32":${arr(all32.map(_.r.steadyTp), "%.0f")},""" +
         f""""fork_start_epochs":${(all8 ++ all32).map(_.startEpochSec).sorted.mkString("[", ",", "]")},""" +
+        f""""fork_cores_local8":${all8.map(f => "\"" + f.cores + "\"").mkString("[", ",", "]")},""" +
         f""""core_pinned":true,"interleaved_pairs":$pairRounds,""" +
         f""""commit_p99_ms_local8":${p99(lat8)}%.1f,"commit_p99_ms_local32":${p99(lat32)}%.1f,""" +
         f""""commit_samples_local8":${lat8.length},"commit_samples_local32":${lat32.length},""" +

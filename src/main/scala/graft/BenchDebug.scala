@@ -50,7 +50,7 @@ object BenchDebug {
     val srcDir = tmpDir("dbg-src")
     DeterministicGen.transcripts(spark, spec)
       .repartitionByRange(64, org.apache.spark.sql.functions.col("ts"))
-      .write.mode("overwrite").parquet(srcDir)
+      .write.mode("overwrite").option("compression", "snappy").parquet(srcDir)
     new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
         Files.setLastModifiedTime(f.toPath,

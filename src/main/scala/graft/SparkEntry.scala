@@ -380,6 +380,18 @@ object SparkEntry {
       graft.ops.TrainingDataOps.ngramJaccard(docs, pairs, "doc_id")
     }),
 
+    // The COMPOSED near-duplicate pipeline: MinHash signatures → LSH band
+    // buckets → candidate pairs → exact n-gram-Jaccard verification →
+    // verified duplicate pairs. This is the production dedup flow end to
+    // end (candidates sub-quadratic via LSH, exactness restored by the
+    // verify stage); the oracle restates all three stages.
+    "dedup_lsh_verified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = graft.ops.TrainingDataOps.minhashLshPairs(docs, "doc_id")
+      graft.ops.TrainingDataOps.ngramJaccard(docs, pairs, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+    }),
+
     // Content fingerprint (polynomial rolling hash of the full text).
     "text_fingerprint" -> ((s, dir) => {
       graft.ops.TrainingDataOps.fingerprint(
@@ -843,6 +855,53 @@ object SparkEntry {
          |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
          |FROM hs""".stripMargin,
+
+    "dedup_lsh_verified" -> {
+      val sigs = graft.ops.TrainingDataOps.MinhashA
+        .zip(graft.ops.TrainingDataOps.MinhashB).zipWithIndex.map {
+          case ((a, b), j) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007)) AS sig_$j"
+        }.mkString(",\n ")
+      s"""WITH hs AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sigs FROM hs),
+         |buckets AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band
+         |      WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR)
+         |      WHEN 1 THEN CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR)
+         |      WHEN 2 THEN CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR)
+         |      ELSE CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR)
+         |    END AS bucket
+         |  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+         |small AS (
+         |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+         |  HAVING count(*) <= 64),
+         |kept AS (
+         |  SELECT buckets.* FROM buckets JOIN small USING (band, bucket)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 1), i ->
+         |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         |    ELSE [] END AS sh
+         |  FROM toks),
+         |j AS (
+         |  SELECT p.id_a, p.id_b,
+         |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.sh, b.sh))) END, 5) AS jaccard
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

@@ -350,6 +350,10 @@ class StreamingSpec extends SparkSpec {
         ds => DedupState.dedup(ds, turnBucketShift = 2).toDF, "rocks_out",
         watermarkDelay = "365 days")
       assert(out.count() == base.count(), "dedup exact on RocksDB state store")
+      val outRows = runFileStream(src, tmp("rocks-ck2"),
+        ds => DedupState.dedupRows(ds.toDF), "rocks_rows_out",
+        watermarkDelay = "365 days")
+      assert(outRows.count() == base.count(), "row-level dedup exact on RocksDB state store")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
