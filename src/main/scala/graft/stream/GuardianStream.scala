@@ -341,13 +341,25 @@ object GuardianStream {
       graft.expressions.WindowStatsAgg.column(
         col("ts"), col("text_len"), col("has_pii"), windowMicros(w)).as("qwin"))
     val metrics = baseMetrics ++ qualityMetric
+    // Commit-path phase timing (bench diagnosis only; off unless
+    // GRAFT_COMMIT_TIMING=1 in the environment).
+    val timing = sys.env.get("GRAFT_COMMIT_TIMING").contains("1")
+    def phase[A](name: String)(f: => A): A =
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"  [commit-timing] b$batchId $name ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
     val stamped = batch
       .withColumn("pid", spark_partition_id())
       .observe(obs, metrics.head, metrics.tail: _*)
-    val dataDir = IceLite.writeData(stamped, cfg.sinkDir, batchId)
+    val dataDir = phase("writeData") { IceLite.writeData(stamped, cfg.sinkDir, batchId) }
 
-    val m = obs.get
-    val parts = IceLite.footerStats(dataDir)
+    val m = phase("obs.get") { obs.get }
+    val parts = phase("footerStats") { IceLite.footerStats(dataDir) }
     val report = reportFromObserved(m)
     val nPii = if (m("npii") == null) 0L else m("npii").asInstanceOf[Long]
     val n = report.record_count
@@ -382,10 +394,12 @@ object GuardianStream {
         report.checks.get("text_len").map(c =>
           "text_len_mean" -> c.actual_mean.toString),
       timestamp = Some(batchId.toDouble))
-    IceLite.publish(cfg.sinkDir, batchId, lineage, parts)
-    publishQuality(batch.sparkSession, cfg, batchId,
-      observed = qualityMetric.map(_ =>
-        m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]))
+    phase("publish") { IceLite.publish(cfg.sinkDir, batchId, lineage, parts) }
+    phase("quality") {
+      publishQuality(batch.sparkSession, cfg, batchId,
+        observed = qualityMetric.map(_ =>
+          m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]))
+    }
     publishSessions(batch.sparkSession, cfg, batchId)
   }
 
