@@ -33,8 +33,9 @@ object Verify {
       }
       finally {
         // bound intra-operator caches (shingle table, quantized vectors)
-        // to their own query's lifetime
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // to their own query's lifetime; catalog-level clear also drops
+        // the CacheManager's plan registrations
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

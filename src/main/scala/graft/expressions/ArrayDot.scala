@@ -110,7 +110,12 @@ object IvfAssignScan {
       val c = cents.getStruct(i, 3)
       val cid = c.getLong(0)
       val score = ArrayDotScan.dotLong(qe, c.getArray(1)).toDouble / (nrm * c.getDouble(2))
-      if (score > bestScore || (score == bestScore && cid < bestCid)) {
+      // Double.compare, not >: a zero-norm vector or centroid yields NaN
+      // scores, which BOTH Spark's ordering (max_by) and DuckDB's ORDER BY
+      // treat as greater than every number — the plain > would silently
+      // skip them and return a nonexistent cell.
+      val cmp = java.lang.Double.compare(score, bestScore)
+      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
         bestScore = score
         bestCid = cid
       }

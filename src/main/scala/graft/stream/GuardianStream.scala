@@ -146,7 +146,6 @@ object GuardianStream {
           .exists(f => f.isFile && f.getName.endsWith(".parquet"))
         if (!hasFiles) Seq.empty
         else {
-          val len = col("text_len").cast("long")
           spark.read.parquet(dataDir)
             .agg(graft.expressions.WindowStatsAgg.column(
               col("ts"), col("text_len"), col("has_pii"), winUs).as("qwin"))

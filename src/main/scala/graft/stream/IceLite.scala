@@ -240,14 +240,11 @@ object IceLite {
     // ForkJoinPool.commonPool is also used elsewhere in a driver JVM, and
     // an unbounded fan-out (or a blocked common pool) could stall the
     // commit path.
-    val files = parquetFiles(new java.io.File(dataDir)).toArray
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, math.max(1, files.length)))
-    try {
-      files
-        .map(f => java.util.concurrent.CompletableFuture.supplyAsync(
-          () => footerOf(f, conf), pool))
-        .flatMap(_.join())
+    val files: Array[java.io.File] = parquetFiles(new java.io.File(dataDir)).toArray
+    files
+      .map(f => java.util.concurrent.CompletableFuture.supplyAsync(
+        () => footerOf(f, conf), footerPool))
+      .flatMap(_.join())
       .groupBy(_.pid)
       .map { case (pid, ms) =>
         PartitionManifest(
@@ -258,8 +255,18 @@ object IceLite {
       }
       .toSeq
       .sortBy(_.pid)
-    } finally pool.shutdown()
   }
+
+  /** Shared bounded pool for footer reads — one per process, daemon
+    * threads (a fresh pool per commit would put 8 thread creations inside
+    * the very commit path whose p99 the bench headlines).
+    */
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "icelite-footer")
+      t.setDaemon(true)
+      t
+    })
 
   /** Commit a frame already stamped with a `pid` column, with per-partition
     * stats the caller computed (lets the pipeline share ONE aggregation

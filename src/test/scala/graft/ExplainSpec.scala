@@ -21,7 +21,7 @@ class ExplainSpec extends SparkSpec {
     assume(available, s"$dir fixtures not present")
     val df = SparkEntry.queries(q)(spark, dir)
     val s = df.queryExecution.executedPlan.toString()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    spark.catalog.clearCache()
     s
   }
 
