@@ -164,6 +164,43 @@ class StreamingSpec extends SparkSpec {
       s"merged quality windows equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
   }
 
+  test("row-level dedup state is bounded by the watermark horizon") {
+    // 10^12-scale argument: dropDuplicatesWithinWatermark keeps one key
+    // per turn only WITHIN the watermark horizon — older keys are evicted
+    // each epoch, so standing state tracks the horizon, not the history.
+    val spec = TranscriptSpec(nConvs = 10, turnsPerConv = 30, seed = 36,
+      stepSeconds = 600, burstLen = 1000)
+    val base = turnsDF(spec)
+    val qs = base.withColumn("__uts", unix_timestamp(col("ts")).cast("double"))
+      .stat.approxQuantile("__uts", Array(0.33, 0.66), 0.0).map(_.toLong)
+    // three time-ordered slices so the watermark advances between epochs
+    val byTs = (lo: Option[Long], hi: Option[Long]) => base.filter(
+      lo.map(l => unix_timestamp(col("ts")) > l).getOrElse(lit(true)) &&
+        hi.map(h => unix_timestamp(col("ts")) <= h).getOrElse(lit(true)))
+    val src = tmp("bound-src")
+    writeBatches(src, Seq(
+      byTs(None, Some(qs(0))), byTs(Some(qs(0)), Some(qs(1))), byTs(Some(qs(1)), None)))
+    val q = spark.readStream.schema(GuardianStream.turnSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .transform(df => DedupState.dedupRows(df))
+      .writeStream
+      .option("checkpointLocation", tmp("bound-ck"))
+      .outputMode("append")
+      .format("memory").queryName("bound_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty)
+    val finalState = stateRows.last
+    val total = spark.table("bound_out").count()
+    assert(total > 0)
+    assert(finalState < total / 2,
+      s"state ($finalState keys) must track the watermark horizon, not the full history ($total rows)")
+  }
+
   test("session quality partials merge across epochs to the batch session windows") {
     val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 24, seed = 35,
       stepSeconds = 120, burstLen = 6, sessionGapSeconds = 7200, piiPermille = 80)
