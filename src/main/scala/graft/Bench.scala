@@ -341,11 +341,20 @@ object Bench {
         if (cpus >= 32) "0-31"
         else if (pairIdx % 2 == 0) s"${32 - cpus}-31"
         else s"0-${cpus - 1}"
-      val t = System.currentTimeMillis() / 1000
-      val j = forkPinned(cpus, "stream", srcDir, warmDir, cores)
-      ForkResult(t, jsonNum(j, "calib_sec"),
-        StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"),
-          jsonNum(j, "p99_ms"), jsonArr(j, "commits_ms")), cores)
+      def once(): ForkResult = {
+        val t = System.currentTimeMillis() / 1000
+        val j = forkPinned(cpus, "stream", srcDir, warmDir, cores)
+        ForkResult(t, jsonNum(j, "calib_sec"),
+          StreamResult(jsonNum(j, "steady_tp"), jsonNum(j, "wall_tp"),
+            jsonNum(j, "p99_ms"), jsonArr(j, "commits_ms")), cores)
+      }
+      // one retry: a single fork killed by the host (OOM-killer, eviction)
+      // must not abort the whole recorded bench
+      try once() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream fork ($cpus @ $cores) failed once: ${e.getMessage}; retrying")
+          once()
+      }
     }
     // 2 pairs + at most one adaptive pair ≈ 5-6.5 min end-to-end — keeps
     // the whole bench safely inside the driver's budget (3 pairs + an
