@@ -41,6 +41,8 @@ object BenchDebug {
       // match graft.Bench.session (checksum cost: see Bench.scala)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("DBG_CKSUM", "false"))
+      .config("spark.hadoop.parquet.compression.codec.zstd.level",
+        sys.env.getOrElse("DBG_ZSTD_LEVEL", "3"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
