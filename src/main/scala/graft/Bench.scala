@@ -74,6 +74,14 @@ object Bench {
       // when the host is bandwidth-constrained, and fewer bytes at 100 TB
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SINK_CODEC", "zstd"))
+      // zstd LEVEL 1 (parquet-mr default is 3): on this payload level 1
+      // compresses within ±5% of level 3 (83M vs 80M per 4M-turn sink)
+      // while halving the sink-encode cost of the steady batch at 32
+      // threads (middle batches 2.0s vs 4.0s, interleaved A/B) — level 3
+      // buys no bytes here, only contended CPU. Level 19 measured 9s/batch
+      // for 68M (archival tier, not a streaming sink).
+      .config("spark.hadoop.parquet.compression.codec.zstd.level",
+        sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
       // Spark 4.1 writes a checksum twin for every checkpoint file
       // (delta/snapshot/WAL) by default — measured 60-70% of the state
       // commit time and ~10% of steady throughput on this pipeline, for
@@ -81,6 +89,16 @@ object Bench {
       // bit-rot-prone object storage turns it back on.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // Clone-free arena state store (graft.stream.state): the built-in
+      // HDFS provider clones the whole key map every batch and boxes each
+      // key/value in its own object (~500 B/key, GC litter at 2M+ keys);
+      // the arena keeps raw bytes in flat chunks with the same
+      // delta/snapshot recovery contract. Measured: state updates ~40%
+      // faster at 8 threads, parity at 32, ~2x less state memory.
+      // SPARK_GRAFT_STATE_PROVIDER overrides (e.g. back to HDFS/RocksDB).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+          "graft.stream.state.ArenaStateStoreProvider"))
       // shuffle/spill files on tmpfs too (cluster executors use local SSDs)
       .config("spark.local.dir", {
         val d = benchRoot.resolve("spark-local")

@@ -34,7 +34,7 @@ object BenchDebug {
         sys.env.getOrElse("DBG_CODEC", "snappy"))
       .config("spark.sql.streaming.stateStore.providerClass",
         sys.env.getOrElse("DBG_STATE_PROVIDER",
-          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
+          "graft.stream.state.ArenaStateStoreProvider"))
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.getOrElse("DBG_ROCKSDB_CHANGELOG", "true"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -43,6 +43,10 @@ object BenchDebug {
         sys.env.getOrElse("DBG_CKSUM", "false"))
       .config("spark.hadoop.parquet.compression.codec.zstd.level",
         sys.env.getOrElse("DBG_ZSTD_LEVEL", "3"))
+      .config("spark.sql.streaming.stateStore.compression.codec",
+        sys.env.getOrElse("DBG_STATE_CODEC", "lz4"))
+      .config("spark.sql.streaming.maxBatchesToRetainInMemory",
+        sys.env.getOrElse("DBG_STATE_RETAIN", "2"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,303 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.execution.streaming.state._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.gen.DeterministicGen.TranscriptSpec
+import graft.model.Turn
+import graft.stream._
+import graft.stream.state.ArenaStateStoreProvider
+
+/** The clone-free arena state store: direct provider-contract tests
+  * (put/get/remove/iterator, delta replay, abort rollback, snapshot +
+  * maintenance retention, chunk-boundary sweep) plus streaming-level
+  * equivalence and resume-identity against the built-in HDFS provider.
+  */
+class ArenaStateStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val keySchema = StructType(Seq(
+    StructField("h1", LongType), StructField("h2", LongType)))
+  private val valueSchema = StructType(Seq(StructField("ts", LongType)))
+
+  private val keyProj = UnsafeProjection.create(Array[DataType](LongType, LongType))
+  private val valProj = UnsafeProjection.create(Array[DataType](LongType))
+
+  private def key(a: Long, b: Long): UnsafeRow =
+    keyProj(InternalRow(a, b)).copy()
+  private def value(v: Long): UnsafeRow =
+    valProj(InternalRow(v)).copy()
+
+  private def newProvider(dir: String): ArenaStateStoreProvider = {
+    val p = new ArenaStateStoreProvider
+    p.init(
+      StateStoreId(dir, 0L, 0),
+      keySchema, valueSchema,
+      NoPrefixKeyStateEncoderSpec(keySchema),
+      useColumnFamilies = false,
+      StateStoreConf(spark.sessionState.conf),
+      new Configuration(),
+      useMultipleValuesPerKey = false,
+      None)
+    p
+  }
+
+  private def dump(store: ReadStateStore): Map[(Long, Long), Long] = {
+    val it = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+    try it.map(p => (p.key.getLong(0), p.key.getLong(1)) -> p.value.getLong(0)).toMap
+    finally it.close()
+  }
+
+  test("arena store: put/get/remove/iterator within one version") {
+    val p = newProvider(tmp("arena-basic"))
+    val s = p.getStore(0, None)
+    assert(s.get(key(1, 2)) == null)
+    s.put(key(1, 2), value(100))
+    s.put(key(3, 4), value(200))
+    assert(s.get(key(1, 2)).getLong(0) == 100)
+    // overwrite in place
+    s.put(key(1, 2), value(150))
+    assert(s.get(key(1, 2)).getLong(0) == 150)
+    s.remove(key(3, 4))
+    assert(s.get(key(3, 4)) == null)
+    assert(dump(s) == Map((1L, 2L) -> 150L))
+    assert(s.metrics.numKeys == 1)
+    assert(s.commit() == 1)
+    p.close()
+  }
+
+  test("arena store: commit publishes a delta a fresh provider replays") {
+    val dir = tmp("arena-delta")
+    val p1 = newProvider(dir)
+    val s1 = p1.getStore(0, None)
+    (1 to 100).foreach(i => s1.put(key(i, i * 7), value(i * 10)))
+    s1.remove(key(5, 35))
+    s1.commit()
+    val s2 = p1.getStore(1, None)
+    s2.put(key(200, 201), value(42))
+    s2.remove(key(6, 42))
+    s2.commit()
+    p1.close()
+
+    val p2 = newProvider(dir) // cold start: replay 1.gdelta + 2.gdelta
+    val s = p2.getStore(2, None)
+    val m = dump(s)
+    assert(m.size == 99) // 100 - removed 5 - removed 6 + added 1
+    assert(!m.contains((5L, 35L)) && !m.contains((6L, 42L)))
+    assert(m((200L, 201L)) == 42L)
+    assert(m((7L, 49L)) == 70L)
+    s.abort()
+    // rewind: an older version is also reloadable from the delta chain
+    val sOld = p2.getStore(1, None)
+    val mOld = dump(sOld)
+    assert(mOld.size == 99 && mOld.contains((6L, 42L)) && !mOld.contains((200L, 201L)))
+    sOld.abort()
+    p2.close()
+  }
+
+  test("arena store: abort rolls back to the committed version") {
+    val dir = tmp("arena-abort")
+    val p = newProvider(dir)
+    val s1 = p.getStore(0, None)
+    s1.put(key(1, 1), value(1))
+    s1.commit()
+    val s2 = p.getStore(1, None)
+    s2.put(key(2, 2), value(2))
+    s2.remove(key(1, 1))
+    s2.abort() // task failure: in-place mutations must not survive
+    val s3 = p.getStore(1, None)
+    val m = dump(s3)
+    assert(m == Map((1L, 1L) -> 1L), s"aborted writes leaked: $m")
+    s3.abort()
+    p.close()
+  }
+
+  test("arena store: chunk-boundary sweep at 400k keys") {
+    // 400k entries x ~48 bytes ≈ 5 chunks: exercises chunk-roll, index
+    // growth, eviction-style remove-while-iterating, and exact iteration
+    val p = newProvider(tmp("arena-sweep"))
+    val s = p.getStore(0, None)
+    val n = 400000
+    var i = 0
+    while (i < n) { s.put(key(i, i * 31), value(i)); i += 1 }
+    assert(s.metrics.numKeys == n)
+    // remove every third key while iterating (the eviction pattern)
+    val it = s.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+    var seen = 0
+    while (it.hasNext) {
+      val pair = it.next()
+      seen += 1
+      if (pair.value.getLong(0) % 3 == 0) s.remove(pair.key)
+    }
+    it.close()
+    assert(seen == n, "iterator yields every live entry exactly once")
+    val expect = n - (0 until n).count(_ % 3 == 0)
+    assert(s.metrics.numKeys == expect)
+    var misses = 0
+    i = 0
+    while (i < n) {
+      val v = s.get(key(i, i * 31))
+      if (i % 3 == 0) { if (v != null) misses += 1 }
+      else if (v == null || v.getLong(0) != i) misses += 1
+      i += 1
+    }
+    assert(misses == 0)
+    s.commit()
+    p.close()
+  }
+
+  test("arena store: snapshot + maintenance retain reconstructable versions") {
+    val dir = tmp("arena-snap")
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "3")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    try {
+      val p = newProvider(dir)
+      (0 until 8).foreach { v =>
+        val s = p.getStore(v.toLong, None)
+        s.put(key(v, v), value(v))
+        if (v >= 3) s.remove(key(v - 3, v - 3))
+        s.commit()
+      }
+      p.doMaintenance()
+      val files = java.nio.file.Paths.get(dir, "0", "0").toFile
+        .listFiles().map(_.getName).toSet
+        .filter(n => n.endsWith(".gdelta") || n.endsWith(".gsnapshot"))
+      assert(files.exists(_.endsWith(".gsnapshot")), s"no snapshot in $files")
+      // a cold provider still reconstructs the latest version exactly
+      val p2 = newProvider(dir)
+      val s = p2.getStore(8, None)
+      val m = dump(s)
+      assert(m.keySet == Set((5L, 5L), (6L, 6L), (7L, 7L)), s"got $m")
+      s.abort()
+      p2.close()
+      p.close()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.minDeltasForSnapshot")
+      spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+    }
+  }
+
+  // ---- streaming-level: the provider under the real dedup operator ----
+
+  private def writeBatches(dir: String, slices: Seq[DataFrame]): Unit =
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val staging = tmp(s"stage-$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, f"f$i%02d.parquet"))
+    }
+
+  private def runDedupStream(sourceDir: String, checkpoint: String, name: String): DataFrame = {
+    val src = spark.readStream.schema(GuardianStream.turnSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sourceDir)
+      .withWatermark("ts", "365 days")
+      .as[Turn]
+    val q = DedupState.dedupRows(src.toDF).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def withArenaProvider[A](f: => A): A = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "graft.stream.state.ArenaStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("streaming dedup on the arena provider equals the HDFS provider") {
+    val base = graft.gen.DeterministicGen.transcripts(spark,
+      TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 77))
+    val withDups = graft.gen.DeterministicGen.withDuplicates(base, dupPermille = 250, seed = 77)
+    val src = tmp("arena-eq-src")
+    writeBatches(src, Seq(
+      withDups.filter(col("turn_idx") <= 5),
+      withDups.filter(col("turn_idx") >= 4)))
+    val hdfs = runDedupStream(src, tmp("arena-eq-ckA"), "arena_eq_hdfs")
+    val arena = withArenaProvider {
+      runDedupStream(src, tmp("arena-eq-ckB"), "arena_eq_arena")
+    }
+    assert(hdfs.count() == base.count() && arena.count() == base.count())
+    assert(hdfs.exceptAll(arena).count() == 0)
+    assert(arena.exceptAll(hdfs).count() == 0)
+  }
+
+  test("arena provider: resume from checkpoint is identical (cold-start replay)") {
+    val base = graft.gen.DeterministicGen.transcripts(spark,
+      TranscriptSpec(nConvs = 5, turnsPerConv = 12, seed = 88))
+    val slices = Seq(
+      base.filter(col("turn_idx") <= 3),
+      base.filter(col("turn_idx").between(2, 7)), // replays 2-3
+      base.filter(col("turn_idx") >= 6), // replays 6-7
+      base.filter(col("turn_idx") >= 10)) // replays 10-11
+    // foreachBatch parquet sink (the memory sink cannot recover from a
+    // checkpoint); one sub-dir per epoch, overwrite = redelivery-safe
+    def runToDir(sourceDir: String, checkpoint: String, outDir: String): Unit = {
+      val src = spark.readStream.schema(GuardianStream.turnSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sourceDir)
+        .withWatermark("ts", "365 days")
+        .as[Turn]
+      val q = DedupState.dedupRows(src.toDF).writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id"); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    withArenaProvider {
+      // Run A: all four files in one go
+      val srcA = tmp("arena-res-srcA")
+      val outA = tmp("arena-res-outA")
+      writeBatches(srcA, slices)
+      runToDir(srcA, tmp("arena-res-ckA"), outA)
+      val full = spark.read.parquet(s"$outA/batch=*")
+
+      // Run B: two files, stop, UNLOAD the cached providers (forces the
+      // disk-replay path on resume), two more files, resume
+      val srcB = tmp("arena-res-srcB")
+      val ckB = tmp("arena-res-ckB")
+      val outB = tmp("arena-res-outB")
+      writeBatches(srcB, slices.take(2))
+      runToDir(srcB, ckB, outB)
+      StateStore.stop() // drop in-memory providers: resume must replay files
+      slices.drop(2).zipWithIndex.foreach { case (df, i) =>
+        val staging = tmp(s"stage-late-$i")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, java.nio.file.Paths.get(srcB, f"f${i + 2}%02d.parquet"))
+      }
+      runToDir(srcB, ckB, outB)
+      val resumed = spark.read.parquet(s"$outB/batch=*")
+      assert(full.count() == base.count())
+      assert(resumed.count() == base.count(), "resume admits each turn exactly once")
+      assert(full.exceptAll(resumed).count() == 0)
+      assert(resumed.exceptAll(full).count() == 0)
+    }
+  }
+}
