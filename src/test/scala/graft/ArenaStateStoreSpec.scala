@@ -243,6 +243,78 @@ class ArenaStateStoreSpec extends SparkSpec {
     assert(arena.exceptAll(hdfs).count() == 0)
   }
 
+  test("full guardian pipeline on the arena provider equals the batch transforms") {
+    // the bench session runs the WHOLE standing pipeline (dedup → embed →
+    // flags) on this provider — assert stream ≡ batch end-to-end, not
+    // just the dedup stage
+    val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 91)
+    val base = graft.gen.DeterministicGen.transcripts(spark, spec)
+    val withDups = graft.gen.DeterministicGen.withDuplicates(base, dupPermille = 150, seed = 91)
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = "", checkpointDir = "", sinkDir = "", qualityWindow = None)
+    // materialize the batch side: exceptAll's rewrite mis-binds against
+    // the live Deduplicate+custom-expression plan (a Catalyst rewrite
+    // interaction, nothing state-store-related)
+    val batchOut = {
+      val d = tmp("arena-full-batch")
+      GuardianStream.transforms(withDups.as[Turn], cfg)
+        .write.mode("overwrite").parquet(d)
+      spark.read.parquet(d)
+    }
+    val src = tmp("arena-full-src")
+    writeBatches(src, Seq(
+      withDups.filter(col("turn_idx") <= 5),
+      withDups.filter(col("turn_idx") >= 4)))
+    val streamOut = withArenaProvider {
+      val s = spark.readStream.schema(GuardianStream.turnSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "365 days")
+        .as[Turn]
+      val q = GuardianStream.transforms(s, cfg).writeStream
+        .option("checkpointLocation", tmp("arena-full-ck"))
+        .outputMode("append")
+        .format("memory").queryName("arena_full_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("arena_full_out")
+    }
+    assert(streamOut.count() == base.count())
+    assert(streamOut.exceptAll(batchOut).count() == 0)
+    assert(batchOut.exceptAll(streamOut).count() == 0)
+  }
+
+  test("stream-stream provenance join runs on the arena provider (join state managers)") {
+    // the symmetric-hash-join state managers drive the store differently
+    // from dedup (multiple stores per partition, keyed index rows)
+    val spec = TranscriptSpec(nConvs = 5, turnsPerConv = 8, seed = 92,
+      stepSeconds = 300, burstLen = 1000)
+    val raw = graft.gen.DeterministicGen.transcripts(spark, spec)
+    val gen = graft.gen.DeterministicGen.generatedTwin(raw, maxSkewSeconds = 60, seed = 92)
+    val batchResult = ProvenanceJoin.join(raw, gen, "2 minutes")
+    val rawSrc = tmp("arena-prov-raw"); val genSrc = tmp("arena-prov-gen")
+    writeBatches(rawSrc, Seq(raw))
+    writeBatches(genSrc, Seq(gen))
+    val streamed = withArenaProvider {
+      def fileStream(dir: String) = spark.readStream
+        .schema(GuardianStream.turnSchema).parquet(dir)
+        .withWatermark("ts", "10 minutes")
+      val q = ProvenanceJoin.join(fileStream(rawSrc), fileStream(genSrc), "2 minutes")
+        .writeStream
+        .option("checkpointLocation", tmp("arena-prov-ck"))
+        .outputMode("append")
+        .format("memory").queryName("arena_prov_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("arena_prov_out")
+    }
+    assert(streamed.count() == batchResult.count())
+    assert(streamed.exceptAll(batchResult).count() == 0)
+    assert(batchResult.exceptAll(streamed).count() == 0)
+  }
+
   test("arena provider: resume from checkpoint is identical (cold-start replay)") {
     val base = graft.gen.DeterministicGen.transcripts(spark,
       TranscriptSpec(nConvs = 5, turnsPerConv = 12, seed = 88))
