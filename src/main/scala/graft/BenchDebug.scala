@@ -42,7 +42,7 @@ object BenchDebug {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("DBG_CKSUM", "false"))
       .config("spark.hadoop.parquet.compression.codec.zstd.level",
-        sys.env.getOrElse("DBG_ZSTD_LEVEL", "3"))
+        sys.env.getOrElse("DBG_ZSTD_LEVEL", "1")) // match graft.Bench
       .config("spark.sql.streaming.stateStore.compression.codec",
         sys.env.getOrElse("DBG_STATE_CODEC", "lz4"))
       .config("spark.sql.streaming.maxBatchesToRetainInMemory",

@@ -212,16 +212,21 @@ object DedupState {
     // hash): the variable-length string in the key made every state-store
     // probe hash-and-compare conv_id bytes and every state key row carry
     // them (~40% more key bytes) — measured on the contended 32-thread
-    // state stage. Two chained xxhash64s replace it: a false collapse now
-    // needs the SAME pair of 64-bit values for two distinct turns
-    // (h2 chains h1, so joint collisions need a simultaneous h1 collision
-    // and an h2 collision conditioned on it, p ≈ 2⁻¹²⁸ per pair — at
-    // 10^12 turns the birthday bound stays ≈ 10⁻¹⁵, where the 64-bit key
-    // alone would expect ~27k conflations). conv_id feeds both hashes, so
-    // skew spreading (hash-partitioned shuffle) is unchanged.
+    // state stage. Two INDEPENDENT xxhash64s replace it: h2 prepends a
+    // constant salt, so h1 and h2 hash DIFFERENT messages and a false
+    // collapse needs both to collide at once (p ≈ 2⁻¹²⁸ per pair; at
+    // 10^12 turns the birthday bound stays ≈ 10⁻¹⁵, where a 64-bit key
+    // alone would expect ~27k conflations). NOT a chained h2 =
+    // f(h1, text): for two turns with EQUAL text — the dominant pair
+    // class in a dedup corpus — an h1 collision would make a chained h2
+    // collide with certainty, silently re-widening the bound to 2⁻⁶⁴.
+    // conv_id feeds both hashes, so skew spreading (hash-partitioned
+    // shuffle) is unchanged.
     val keyed = df
       .withColumn("__h1", xxhash64(col("conv_id"), col("turn_idx"), col("text")))
-      .withColumn("__h2", xxhash64(col("__h1"), col("text")))
+      .withColumn("__h2", xxhash64(
+        org.apache.spark.sql.functions.lit(0x9e3779b97f4a7c15L),
+        col("conv_id"), col("turn_idx"), col("text")))
     val deduped =
       if (df.isStreaming) keyed.dropDuplicatesWithinWatermark("__h1", "__h2")
       else keyed.dropDuplicates("__h1", "__h2")

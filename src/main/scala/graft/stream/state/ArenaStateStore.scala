@@ -72,7 +72,8 @@ class ArenaStateStoreProvider extends StateStoreProvider {
   private var currentVersion: Long = 0L
   /** True when in-memory state diverged from disk (aborted mutations). */
   private var dirty = false
-  private var deltasSinceSnapshot = 0
+  /** The store currently allowed to mutate the shared map (zombie fence). */
+  private var activeStore: ArenaStore = _
 
   override def init(
       stateStoreId: StateStoreId,
@@ -110,24 +111,69 @@ class ArenaStateStoreProvider extends StateStoreProvider {
     synchronized {
       require(uniqueId.isEmpty, "checkpoint format v2 ids not supported")
       require(version >= 0, s"invalid state version $version")
+      // Zombie fence: a stalled task attempt whose store never
+      // committed/aborted must not keep mutating the shared in-place map
+      // once a relaunched attempt takes over — mark the old store stale
+      // (its further ops throw) and reload committed state from disk if
+      // it already left writes behind. The built-in providers tolerate
+      // the overlap by cloning per store; in-place mutation must fence.
+      if (activeStore != null && !activeStore.hasCommitted) {
+        if (activeStore.markStale()) dirty = true
+      }
       if (dirty || version != currentVersion) loadVersion(version)
-      new ArenaStore(version)
+      val s = new ArenaStore(version)
+      activeStore = s
+      s
     }
 
-  /** Delete aged version files (runs on the maintenance thread). The
-    * newest snapshot at-or-before the retention floor must survive, with
-    * every later delta, so any retained version stays reconstructable.
+  /** Background maintenance (the engine's maintenance thread): write a
+    * fresh snapshot when the delta chain since the last one is long, then
+    * delete aged version files. The snapshot is built by replaying the
+    * IMMUTABLE on-disk snapshot+delta chain into a shadow map — never by
+    * touching the live map the task thread is mutating — so the commit
+    * path stays snapshot-free (the built-in providers snapshot on this
+    * thread for the same reason). Retention: the newest snapshot
+    * at-or-before the floor survives with every later delta, so any
+    * retained version stays reconstructable.
     */
-  override def doMaintenance(): Unit = synchronized {
+  override def doMaintenance(): Unit = {
     if (fs == null) return
-    val floor = currentVersion - math.max(1, storeConf.minVersionsToRetain)
-    if (floor <= 0) return
-    val snaps = listVersions(".gsnapshot")
-    val anchor = snaps.filter(_ <= floor).sorted.lastOption.getOrElse(return)
-    listVersions(".gsnapshot").filter(_ < anchor)
-      .foreach(v => fs.delete(new HPath(baseDir, s"$v.gsnapshot"), false))
-    listVersions(".gdelta").filter(_ <= anchor)
-      .foreach(v => fs.delete(new HPath(baseDir, s"$v.gdelta"), false))
+    val target = synchronized(currentVersion)
+    val snapBase = listVersions(".gsnapshot").filter(_ <= target).sorted.lastOption.getOrElse(0L)
+    // shadow build reads only immutable published files — no lock needed
+    val shadow: Option[ArenaMap] =
+      if (target - snapBase >= math.max(1, storeConf.minDeltasForSnapshot) &&
+          (snapBase + 1 to target).forall(v => fs.exists(new HPath(baseDir, s"$v.gdelta")))) {
+        val m = new ArenaMap
+        if (snapBase > 0) replayFile(new HPath(baseDir, s"$snapBase.gsnapshot"), m)
+        (snapBase + 1 to target).foreach(v =>
+          replayFile(new HPath(baseDir, s"$v.gdelta"), m))
+        Some(m)
+      } else None
+    // file mutations under the provider lock: never race a commit's
+    // in-flight temp file or concurrent publishes
+    synchronized {
+      shadow.foreach(m => writeVersion(m, target, snapshot = true))
+      listNames(".tmp-").foreach { n =>
+        try fs.delete(new HPath(baseDir, n), false)
+        catch { case _: Throwable => () }
+      }
+      val floor = target - math.max(1, storeConf.minVersionsToRetain)
+      if (floor > 0) {
+        val anchor = listVersions(".gsnapshot").filter(_ <= floor).sorted.lastOption
+        anchor.foreach { a =>
+          listVersions(".gsnapshot").filter(_ < a)
+            .foreach(v => fs.delete(new HPath(baseDir, s"$v.gsnapshot"), false))
+          listVersions(".gdelta").filter(_ <= a)
+            .foreach(v => fs.delete(new HPath(baseDir, s"$v.gdelta"), false))
+        }
+      }
+    }
+  }
+
+  private def listNames(prefix: String): Seq[String] = {
+    if (!fs.exists(baseDir)) return Seq.empty
+    fs.listStatus(baseDir).toSeq.map(_.getPath.getName).filter(_.startsWith(prefix))
   }
 
   private def listVersions(suffix: String): Seq[Long] = {
@@ -143,21 +189,20 @@ class ArenaStateStoreProvider extends StateStoreProvider {
     map.clear()
     dirty = false
     currentVersion = version
-    deltasSinceSnapshot = 0
     if (version == 0) return
     val snaps = listVersions(".gsnapshot").filter(_ <= version)
     val base = if (snaps.isEmpty) 0L else snaps.max
-    if (base > 0) replayFile(new HPath(baseDir, s"$base.gsnapshot"))
+    if (base > 0) replayFile(new HPath(baseDir, s"$base.gsnapshot"), map)
     var v = base + 1
     while (v <= version) {
       val p = new HPath(baseDir, s"$v.gdelta")
       require(fs.exists(p), s"missing state delta $p for version $version")
-      replayFile(p)
+      replayFile(p, map)
       v += 1
     }
   }
 
-  private def replayFile(p: HPath): Unit = {
+  private def replayFile(p: HPath, into: ArenaMap): Unit = {
     val in = new DataInputStream(new net.jpountz.lz4.LZ4BlockInputStream(
       new BufferedInputStream(fs.open(p), 1 << 16)))
     try {
@@ -172,11 +217,11 @@ class ArenaStateStoreProvider extends StateStoreProvider {
             val vlen = in.readInt()
             val key = new Array[Byte](klen)
             in.readFully(key)
-            if (vlen == -1) map.removeRaw(key)
+            if (vlen == -1) into.removeRaw(key)
             else {
               val value = new Array[Byte](vlen)
               in.readFully(value)
-              map.putRaw(key, value)
+              into.putRaw(key, value)
             }
           }
         }
@@ -186,32 +231,38 @@ class ArenaStateStoreProvider extends StateStoreProvider {
 
   // ---- commit: append the batch's ops as an atomic delta file ----
 
-  private def writeVersion(version: Long, snapshot: Boolean): Unit = {
+  private def writeVersion(from: ArenaMap, version: Long, snapshot: Boolean): Unit = {
     val suffix = if (snapshot) ".gsnapshot" else ".gdelta"
     val target = new HPath(baseDir, s"$version$suffix")
     val tmp = new HPath(baseDir, s".tmp-$version-${System.nanoTime()}$suffix")
-    val out = new DataOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
-      new BufferedOutputStream(fs.create(tmp, true), 1 << 16)))
     try {
-      if (snapshot) map.writeLive(out) else map.writeJournal(out)
-      out.writeInt(-2)
-    } finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"failed to publish state file $target")
+      val out = new DataOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
+        new BufferedOutputStream(fs.create(tmp, true), 1 << 16)))
+      try {
+        if (snapshot) from.writeLive(out) else from.writeJournal(out)
+        out.writeInt(-2)
+      } finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        throw new IllegalStateException(s"failed to publish state file $target")
+      }
+    } catch {
+      case t: Throwable =>
+        // never leak the temp file (maintenance also sweeps strays)
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw t
     }
   }
 
   private def commitStore(loadedVersion: Long): Long = synchronized {
     val newVersion = loadedVersion + 1
-    writeVersion(newVersion, snapshot = false)
-    deltasSinceSnapshot += 1
-    if (deltasSinceSnapshot >= math.max(1, storeConf.minDeltasForSnapshot)) {
-      map.compactIfWorthIt()
-      writeVersion(newVersion, snapshot = true)
-      deltasSinceSnapshot = 0
-    }
+    writeVersion(map, newVersion, snapshot = false)
+    // keep live-map garbage bounded (dead arena bytes from eviction
+    // churn); per-partition state is 1/numPartitions of the operator's,
+    // so this rewrite is small and rare — snapshots themselves are
+    // written by the MAINTENANCE thread from the immutable file chain,
+    // never here on the commit path
+    map.compactIfWorthIt()
     map.clearJournal()
     currentVersion = newVersion
     newVersion
@@ -231,6 +282,24 @@ class ArenaStateStoreProvider extends StateStoreProvider {
   private final class ArenaStore(val version: Long) extends StateStore {
     private var committed = false
     private var validated = false
+    /** Set when a newer store attempt superseded this one (zombie fence):
+      * every subsequent operation throws instead of corrupting the map.
+      */
+    @volatile private var stale = false
+    /** True once this store mutated the shared map. */
+    @volatile private var mutated = false
+
+    /** Returns whether the fenced store had already written to the map
+      * (the provider must then reload committed state from disk).
+      */
+    private[ArenaStateStoreProvider] def markStale(): Boolean = {
+      stale = true
+      mutated || map.journalNonEmpty
+    }
+
+    private def checkLive(): Unit =
+      if (stale) throw new IllegalStateException(
+        "state store superseded by a newer task attempt for " + storeId)
 
     override def id: StateStoreId = storeId
 
@@ -239,27 +308,29 @@ class ArenaStateStoreProvider extends StateStoreProvider {
         s"column family '$colFamilyName' not supported")
 
     override def get(key: UnsafeRow, colFamilyName: String): UnsafeRow = {
-      checkFamily(colFamilyName)
+      checkFamily(colFamilyName); checkLive()
       map.get(key, valueSchema.length)
     }
 
     override def put(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = {
-      checkFamily(colFamilyName)
+      checkFamily(colFamilyName); checkLive()
       if (!validated && storeConf.formatValidationEnabled) {
         StateStoreProvider.validateStateRowFormat(
           key, keySchema, value, valueSchema, storeId, storeConf)
         validated = true
       }
+      mutated = true
       map.put(key, value)
     }
 
     override def remove(key: UnsafeRow, colFamilyName: String): Unit = {
-      checkFamily(colFamilyName)
+      checkFamily(colFamilyName); checkLive()
+      mutated = true
       map.remove(key)
     }
 
     override def iterator(colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
-      checkFamily(colFamilyName)
+      checkFamily(colFamilyName); checkLive()
       new StateStoreIterator(map.iterator(keySchema.length, valueSchema.length), () => ())
     }
 
@@ -288,6 +359,7 @@ class ArenaStateStoreProvider extends StateStoreProvider {
 
     override def commit(): Long = {
       require(!committed, "cannot commit twice")
+      checkLive()
       val v = commitStore(version)
       committed = true
       // the engine counts per-partition commits against the operator's
@@ -299,7 +371,11 @@ class ArenaStateStoreProvider extends StateStoreProvider {
       v
     }
 
-    override def abort(): Unit = if (!committed) abortStore(map.journalNonEmpty)
+    override def abort(): Unit =
+      // a stale (superseded) store was already fenced and its residue
+      // handled by the provider; its abort must not touch the successor's
+      // journal
+      if (!committed && !stale) abortStore(map.journalNonEmpty)
 
     override def release(): Unit = ()
 
@@ -545,8 +621,14 @@ private[state] final class ArenaMap {
     removeInternal(hashBytes(key), key, Platform.BYTE_ARRAY_OFFSET, key.length,
       journaled = false)
 
-  // reused by get(): valid until the next get/put on this map — the same
-  // validity contract the HDFS provider's live stored rows give callers
+  // Reused by get(): the returned row is valid ONLY until the next
+  // get/put on this map. This is a deliberately NARROWER contract than
+  // the HDFS provider (whose returned rows are stable map entries,
+  // unaffected by later gets): the dedup / join / agg operators all read
+  // a looked-up value before the next lookup, and the reuse removes one
+  // allocation per input row on the hot path. A new operator that must
+  // hold two lookups at once has to row.copy() — see the class scaladoc's
+  // scope guard.
   private var getRow: UnsafeRow = _
 
   def get(key: UnsafeRow, valueFields: Int): UnsafeRow = {

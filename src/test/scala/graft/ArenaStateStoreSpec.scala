@@ -155,7 +155,7 @@ class ArenaStateStoreSpec extends SparkSpec {
     p.close()
   }
 
-  test("arena store: snapshot + maintenance retain reconstructable versions") {
+  test("arena store: maintenance-thread snapshot + retention keep versions reconstructable") {
     val dir = tmp("arena-snap")
     spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "3")
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
@@ -167,16 +167,32 @@ class ArenaStateStoreSpec extends SparkSpec {
         if (v >= 3) s.remove(key(v - 3, v - 3))
         s.commit()
       }
-      p.doMaintenance()
-      val files = java.nio.file.Paths.get(dir, "0", "0").toFile
+      def stateFiles(): Set[String] = java.nio.file.Paths.get(dir, "0", "0").toFile
         .listFiles().map(_.getName).toSet
         .filter(n => n.endsWith(".gdelta") || n.endsWith(".gsnapshot"))
-      assert(files.exists(_.endsWith(".gsnapshot")), s"no snapshot in $files")
-      // a cold provider still reconstructs the latest version exactly
+      // snapshots come from the MAINTENANCE pass (built from the
+      // immutable file chain), never from the commit path
+      assert(!stateFiles().exists(_.endsWith(".gsnapshot")))
+      p.doMaintenance()
+      assert(stateFiles().contains("8.gsnapshot"), s"got ${stateFiles()}")
+      // two more commits, then maintenance prunes the pre-snapshot chain
+      (8 until 10).foreach { v =>
+        val s = p.getStore(v.toLong, None)
+        s.put(key(v, v), value(v))
+        s.remove(key(v - 3, v - 3))
+        s.commit()
+      }
+      p.doMaintenance()
+      val files = stateFiles()
+      assert(!files.contains("1.gdelta") && !files.contains("8.gdelta"),
+        s"pre-snapshot deltas not pruned: $files")
+      assert(files.contains("9.gdelta") && files.contains("10.gdelta"))
+      // a cold provider reconstructs the latest version from snapshot 8 +
+      // deltas 9-10 exactly
       val p2 = newProvider(dir)
-      val s = p2.getStore(8, None)
+      val s = p2.getStore(10, None)
       val m = dump(s)
-      assert(m.keySet == Set((5L, 5L), (6L, 6L), (7L, 7L)), s"got $m")
+      assert(m.keySet == Set((7L, 7L), (8L, 8L), (9L, 9L)), s"got $m")
       s.abort()
       p2.close()
       p.close()
@@ -184,6 +200,31 @@ class ArenaStateStoreSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.minDeltasForSnapshot")
       spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
     }
+  }
+
+  test("arena store: a superseded task attempt is fenced and its writes roll back") {
+    val dir = tmp("arena-fence")
+    val p = newProvider(dir)
+    val s0 = p.getStore(0, None)
+    s0.put(key(1, 1), value(1))
+    s0.commit()
+    // task attempt 1 mutates but never commits (zombie)
+    val zombie = p.getStore(1, None)
+    zombie.put(key(2, 2), value(2))
+    zombie.remove(key(1, 1))
+    // attempt 2 takes over the same version: provider must fence the
+    // zombie and serve COMMITTED state
+    val fresh = p.getStore(1, None)
+    assert(dump(fresh) == Map((1L, 1L) -> 1L), "zombie writes leaked")
+    intercept[IllegalStateException](zombie.put(key(3, 3), value(3)))
+    intercept[IllegalStateException](zombie.commit())
+    zombie.abort() // no-op for a fenced store; must not disturb attempt 2
+    fresh.put(key(9, 9), value(9))
+    fresh.commit()
+    val check = p.getStore(2, None)
+    assert(dump(check) == Map((1L, 1L) -> 1L, (9L, 9L) -> 9L))
+    check.abort()
+    p.close()
   }
 
   // ---- streaming-level: the provider under the real dedup operator ----
