@@ -112,7 +112,8 @@ object BenchDebug {
       rowDedup = !sys.env.get("DBG_ROW_DEDUP").contains("off"),
       qualityWindow =
         if (sys.env.get("DBG_QUALITY").contains("off")) None
-        else Some(sys.env.getOrElse("DBG_QUALITY", "1 hour")))
+        else Some(sys.env.getOrElse("DBG_QUALITY", "1 hour")),
+      sessionGap = sys.env.get("DBG_SESSION_GAP")) // e.g. "30 minutes"
     val src = spark.readStream.schema(GuardianStream.turnSchema)
       .option("maxFilesPerTrigger", trigFiles)
       .parquet(srcDir).withWatermark("ts", "10 minutes").as[graft.model.Turn]
