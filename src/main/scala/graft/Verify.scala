@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver's hash-exact gate certifies the engine's OWN state
+      // backend end-to-end: stream_guardian_e2e's stateful dedup runs on
+      // the clone-free arena store here, same as the recorded bench
+      // (SPARK_GRAFT_STATE_PROVIDER overrides, e.g. to the HDFS provider)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+          "graft.stream.state.ArenaStateStoreProvider"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
