@@ -356,6 +356,42 @@ class ArenaStateStoreSpec extends SparkSpec {
     assert(batchResult.exceptAll(streamed).count() == 0)
   }
 
+  test("fMGWS dedup (the rowDedup=off A/B path) runs on the arena provider") {
+    // flatMapGroupsWithState drives the store through the keyed state
+    // manager (struct values with an array field + timeout timestamp
+    // column) — a different access pattern from the row-level dedup
+    val base = graft.gen.DeterministicGen.transcripts(spark,
+      TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 93))
+    val withDups = graft.gen.DeterministicGen.withDuplicates(base, dupPermille = 200, seed = 93)
+    val src = tmp("arena-fmgws-src")
+    writeBatches(src, Seq(
+      withDups.filter(col("turn_idx") <= 5),
+      withDups.filter(col("turn_idx") >= 4)))
+    def run(name: String, arena: Boolean): DataFrame = {
+      def go(): DataFrame = {
+        val s = spark.readStream.schema(GuardianStream.turnSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .withWatermark("ts", "365 days")
+          .as[Turn]
+        val q = DedupState.dedup(s, turnBucketShift = 2).toDF.writeStream
+          .option("checkpointLocation", tmp(s"arena-fmgws-ck-$name"))
+          .outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(name)
+      }
+      if (arena) withArenaProvider(go()) else go()
+    }
+    val a = run("fmgws_arena", arena = true)
+    val h = run("fmgws_hdfs", arena = false)
+    assert(a.count() == base.count(), "each turn exactly once on arena")
+    assert(a.exceptAll(h).count() == 0)
+    assert(h.exceptAll(a).count() == 0)
+  }
+
   test("arena provider: resume from checkpoint is identical (cold-start replay)") {
     val base = graft.gen.DeterministicGen.transcripts(spark,
       TranscriptSpec(nConvs = 5, turnsPerConv = 12, seed = 88))
