@@ -45,6 +45,10 @@ object BenchDebug {
         sys.env.getOrElse("DBG_ZSTD_LEVEL", "1")) // match graft.Bench
       .config("spark.sql.streaming.stateStore.compression.codec",
         sys.env.getOrElse("DBG_STATE_CODEC", "lz4"))
+      .config("spark.hadoop.parquet.enable.dictionary",
+        sys.env.getOrElse("DBG_PARQUET_DICT", "true"))
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("DBG_SHUFFLE_COMPRESS", "true"))
       .config("spark.sql.streaming.maxBatchesToRetainInMemory",
         sys.env.getOrElse("DBG_STATE_RETAIN", "2"))
       .config("spark.ui.enabled", "false")
