@@ -6,35 +6,41 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Per-tumbling-window quality statistics as ONE aggregate expression, so
-  * the per-epoch drift-window partials ride the audit sink's write job via
+/** Per-window quality statistics as ONE aggregate expression, so the
+  * per-epoch drift-window partials ride the audit sink's write job via
   * `observe()` — zero extra Spark jobs and zero extra scans on the commit
   * path (the streaming restatement of the reference validating inside the
   * pipeline, app.py:50-51; GuardianStream.publishQuality).
   *
   * Result: map<window_start_micros, [n, len_min, len_max, len_sum,
-  * len_sumsq, n_pii]> over the epoch's rows. Window assignment is
-  * `floorDiv(ts_micros, windowUs) * windowUs` — identical to Spark's
-  * `window(ts, w)` start for fixed (month-free) durations with no offset,
-  * which is what `readQuality`'s stream≡batch equality test relies on.
-  * All six statistics are exact integers (sumsq of 31-bit lengths over
-  * any realistic epoch stays far below 2^63), so partials from different
+  * len_sumsq, n_pii]> over the epoch's rows. Tumbling (slideUs ==
+  * windowUs, the default) assignment is `floorDiv(ts_micros, windowUs) *
+  * windowUs`; SLIDING (slideUs < windowUs) emits one update per
+  * containing window — starts s ≡ 0 (mod slideUs) with
+  * ts−windowUs < s ≤ ts — identical to Spark's `window(ts, size, slide)`
+  * window set for fixed (month-free) durations with no offset, which is
+  * what `readQuality`'s stream≡batch equality test relies on. All six
+  * statistics are exact integers (sumsq of 31-bit lengths over any
+  * realistic epoch stays far below 2^63), so partials from different
   * epochs merge bit-exactly.
   *
   * The buffer is a primitive-keyed HashMap bounded by the number of
   * DISTINCT event-time windows touched by one micro-batch — thousands at
-  * most, independent of row count.
+  * most (× windowUs/slideUs when sliding), independent of row count.
   */
 case class WindowStatsAgg(
     ts: Expression,
     len: Expression,
     pii: Expression,
     windowUs: Long,
+    slideUs: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[java.lang.Long, Array[Long]]] {
 
   require(windowUs > 0, "windowUs must be positive")
+  require(slideUs > 0 && slideUs <= windowUs,
+    s"slideUs must be in (0, windowUs]: $slideUs vs $windowUs")
 
   override def children: Seq[Expression] = Seq(ts, len, pii)
   override def nullable: Boolean = false
@@ -63,14 +69,19 @@ case class WindowStatsAgg(
       val us = tsv.asInstanceOf[Long]
       val l = lv.asInstanceOf[Int].toLong
       val p = pii.eval(input)
-      val ws = Math.floorDiv(us, windowUs) * windowUs
-      val a = slot(buf, ws)
-      a(0) += 1L
-      if (l < a(1)) a(1) = l
-      if (l > a(2)) a(2) = l
-      a(3) += l
-      a(4) += l * l
-      if (p != null && p.asInstanceOf[Boolean]) a(5) += 1L
+      val isPii = p != null && p.asInstanceOf[Boolean]
+      // every window [ws, ws+windowUs) containing us, ws aligned to slideUs
+      var ws = Math.floorDiv(us, slideUs) * slideUs
+      while (ws + windowUs > us) {
+        val a = slot(buf, ws)
+        a(0) += 1L
+        if (l < a(1)) a(1) = l
+        if (l > a(2)) a(2) = l
+        a(3) += l
+        a(4) += l * l
+        if (isPii) a(5) += 1L
+        ws -= slideUs
+      }
     }
     buf
   }
@@ -224,13 +235,17 @@ object WindowStatsAgg {
   import org.apache.spark.sql.graftbridge.CatalystBridge
 
   /** `map<window_start_us, [n, min, max, sum, sumsq, n_pii]>` column over
-    * (timestamp, int length, boolean pii) with a fixed window duration.
+    * (timestamp, int length, boolean pii) with a fixed window duration
+    * and optional slide (slideUs == windowUs ⇒ tumbling).
     */
-  def column(ts: Column, len: Column, pii: Column, windowUs: Long): Column =
+  def column(
+      ts: Column, len: Column, pii: Column, windowUs: Long,
+      slideUs: Long = 0L): Column =
     CatalystBridge.column(
       WindowStatsAgg(
         CatalystBridge.expression(ts),
         CatalystBridge.expression(len),
         CatalystBridge.expression(pii),
-        windowUs).toAggregateExpression())
+        windowUs,
+        if (slideUs > 0) slideUs else windowUs).toAggregateExpression())
 }

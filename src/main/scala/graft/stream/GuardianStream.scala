@@ -60,6 +60,20 @@ object GuardianStream {
       // (app.py:50-51). Free on the commit path (rides the write job's
       // observe()). None disables the quality sink.
       qualityWindow: Option[String] = Some("1 hour"),
+      // Optional slide for the quality windows (must be ≤ qualityWindow;
+      // None ⇒ tumbling). Sliding drift windows ride the same observe()
+      // aggregate — each row lands size/slide window assignments
+      // (round-3 verdict item 7).
+      qualitySlide: Option[String] = None,
+      // Every N committed epochs, roll the accumulated quality (and, when
+      // enabled, session) partials into ONE compacted manifest — the
+      // Iceberg rewrite_manifests discipline. The read path then parses
+      // O(1) compacted state + the residual epochs instead of every epoch
+      // manifest since stream start (round-3 verdict item 3: a standing
+      // query committing for a month is ~10^6 manifests). None ⇒ no
+      // auto-compaction (compactQuality/compactSessions remain callable
+      // as maintenance).
+      compactEvery: Option[Int] = None,
       // When set, each epoch also lands per-conversation SESSION quality
       // partials (session gap = this duration) in a `sessions/` IceLite
       // table. Unlike the tumbling windows these cannot ride observe()
@@ -131,6 +145,7 @@ object GuardianStream {
     val root = qualityRoot(cfg)
     if (IceLite.isCommitted(root, batchId)) return
     val winUs = windowMicros(window)
+    val slideUs = cfg.qualitySlide.map(windowMicros).getOrElse(winUs)
     // (window_start_us, [n, min, max, sum, sumsq, npii]) per touched window
     val partials: Seq[(Long, Seq[Long])] = observed match {
       case Some(m) => m.toSeq.map { case (ws, a) => ws -> a.toSeq }
@@ -148,7 +163,7 @@ object GuardianStream {
         else {
           spark.read.parquet(dataDir)
             .agg(graft.expressions.WindowStatsAgg.column(
-              col("ts"), col("text_len"), col("has_pii"), winUs).as("qwin"))
+              col("ts"), col("text_len"), col("has_pii"), winUs, slideUs).as("qwin"))
             .collect()(0)
             .getMap[Long, scala.collection.Seq[Long]](0)
             .toSeq.map { case (ws, a) => ws -> a.toSeq }
@@ -159,6 +174,7 @@ object GuardianStream {
     node.put("batch_id", batchId)
     node.put("dataset_id", s"${cfg.datasetId}-quality")
     node.put("window", window)
+    cfg.qualitySlide.foreach(node.put("slide", _))
     val arr = node.putArray("partials")
     partials.sortBy(_._1).foreach { case (ws, a) =>
       val pn = arr.addObject()
@@ -281,10 +297,15 @@ object GuardianStream {
     * max end continues the session), then additive stats — equal to the
     * batch `Windows.sessionWindows` over the same deduped rows.
     */
-  def readSessionQuality(spark: SparkSession, sinkDir: String): DataFrame = {
+  /** Interval-islands merge of session partials: a partial starting
+    * before the running max end continues the session. Input and output
+    * share the PARTIAL schema (conv_id, s_start, s_end, n_turns, len_sum,
+    * n_pii) — merged partials are themselves valid partials (a merged
+    * island's interval still ends gap after its last event), so the merge
+    * is associative and compaction below is lossless.
+    */
+  private def mergeSessionIslands(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = IceLite.read(spark,
-      java.nio.file.Paths.get(sinkDir, "sessions").toString)
     val w = Window.partitionBy(col("conv_id")).orderBy(col("s_start"), col("s_end"))
     val prevEnd = max(col("s_end"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -294,14 +315,84 @@ object GuardianStream {
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("conv_id"), col("sid"))
       .agg(
-        min(col("s_start")).as("session_start"),
-        max(col("s_end")).as("session_end"),
+        min(col("s_start")).as("s_start"),
+        max(col("s_end")).as("s_end"),
         sum(col("n_turns")).as("n_turns"),
-        (sum(col("len_sum")).cast("double") / sum(col("n_turns"))).as("len_mean"),
+        sum(col("len_sum")).as("len_sum"),
         sum(col("n_pii")).as("n_pii"))
+      .select(col("conv_id"), col("s_start"), col("s_end"),
+        col("n_turns"), col("len_sum"), col("n_pii"))
+  }
+
+  private def compactSessionsMarker(root: String, upTo: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "manifests", f"compact-$upTo%09d.json")
+
+  private def compactSessionsDataDir(root: String, upTo: Long): String =
+    java.nio.file.Paths.get(root, "compact", upTo.toString).toString
+
+  /** All live session partials: the latest compacted table (if any) plus
+    * the residual per-epoch batches — O(compacted) files, not O(epochs).
+    */
+  private def sessionPartials(spark: SparkSession, root: String): DataFrame = {
+    val (latest, residual) = qualitySources(root) // same manifest naming
+    sessionPartialsOf(spark, root, latest, residual)
+  }
+
+  /** Partials of an EXPLICIT source snapshot — compaction folds exactly
+    * the listing it decided `upTo` from (re-listing could fold an epoch
+    * committed in between while readers still count it as residual).
+    */
+  private def sessionPartialsOf(
+      spark: SparkSession, root: String,
+      latest: Option[Long], residual: Seq[Long]): DataFrame = {
+    require(latest.nonEmpty || residual.nonEmpty,
+      s"sessions table at $root has no committed epochs")
+    val cols = Seq("conv_id", "s_start", "s_end", "n_turns", "len_sum", "n_pii")
+      .map(col)
+    val parts =
+      latest.map(u =>
+        spark.read.parquet(compactSessionsDataDir(root, u)).select(cols: _*)).toSeq ++
+        (if (residual.nonEmpty)
+          Seq(IceLite.readBatches(spark, root, residual).select(cols: _*))
+        else Seq.empty)
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Roll the accumulated per-epoch session partials (plus the previous
+    * compacted table, if any) into ONE compacted parquet table under
+    * `sessions/compact/<upTo>/`, made visible by an atomically-published
+    * marker manifest. Lossless: merged islands are valid partials (see
+    * mergeSessionIslands), so `readSessionQuality` before ≡ after.
+    * Returns false when < 2 residual epoch batches exist.
+    */
+  def compactSessions(spark: SparkSession, sinkDir: String): Boolean = {
+    val root = sessionsRoot(
+      StreamConfig(sourceDir = "", checkpointDir = "", sinkDir = sinkDir))
+    val (latest, residual) = qualitySources(root)
+    if (residual.size < 2) return false
+    val upTo = residual.max
+    // write first (invisible until the marker publish), then publish
+    mergeSessionIslands(sessionPartialsOf(spark, root, latest, residual))
+      .write.mode("overwrite").parquet(compactSessionsDataDir(root, upTo))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("upto_batch", upTo)
+    latest.foreach(node.put("prev_compact", _))
+    node.put("path", s"compact/$upTo")
+    IceLite.commitIO.publishIfAbsent(
+      compactSessionsMarker(root, upTo), mapper.writeValueAsString(node))
+  }
+
+  def readSessionQuality(spark: SparkSession, sinkDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sinkDir, "sessions").toString
+    mergeSessionIslands(sessionPartials(spark, root))
       .select(
-        col("conv_id"), col("session_start"), col("session_end"),
-        col("n_turns"), col("len_mean"), col("n_pii"))
+        col("conv_id"),
+        col("s_start").as("session_start"),
+        col("s_end").as("session_end"),
+        col("n_turns"),
+        (col("len_sum").cast("double") / col("n_turns")).as("len_mean"),
+        col("n_pii"))
   }
 
   /** Merged view of the per-epoch quality partials: one row per closed
@@ -312,22 +403,116 @@ object GuardianStream {
     * bit-for-bit — asserted by StreamingSpec. Driver-side manifest parse
     * (the partial table is tiny: epochs × touched windows).
     */
+  private def compactQualityPath(root: String, upTo: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "manifests", f"compact-$upTo%09d.json")
+
+  /** (latest compacted manifest's upto-batch, epoch manifests NOT yet
+    * folded into it) — what a reader must parse: O(1) compacted state +
+    * the residual epochs, never every epoch since stream start.
+    */
+  private[graft] def qualitySources(root: String): (Option[Long], Seq[Long]) = {
+    val names = IceLite.commitIO.listNames(java.nio.file.Paths.get(root, "manifests"))
+    val compacts = names
+      .filter(n => n.startsWith("compact-") && n.endsWith(".json"))
+      .map(_.stripPrefix("compact-").stripSuffix(".json").toLong)
+    val latest = compacts.sorted.lastOption
+    val epochs = names
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      .filter(b => latest.forall(b > _))
+      .sorted
+    (latest, epochs)
+  }
+
+  /** Partial rows [ws, we, n, min, max, sum, sumsq, pii] of one quality
+    * manifest (epoch or compacted — same JSON shape).
+    */
+  private def qualityPartialsOf(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      path: java.nio.file.Path): Seq[Array[Long]] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(path))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    node.get("partials").elements().forEachRemaining { pn =>
+      out += Array(
+        pn.get("ws_us").asLong(), pn.get("we_us").asLong(),
+        pn.get("n_turns").asLong(), pn.get("len_min").asLong(),
+        pn.get("len_max").asLong(), pn.get("len_sum").asLong(),
+        pn.get("len_sumsq").asLong(), pn.get("n_pii").asLong())
+    }
+    out.toSeq
+  }
+
+  /** Roll the accumulated per-epoch quality partials (plus the previous
+    * compacted manifest, if any) into ONE compacted manifest — the
+    * Iceberg `rewrite_manifests` discipline. The statistics are exact
+    * integers with associative merges (count/sum/sumsq add, min/max
+    * lattice), so compaction is LOSSLESS: `readQuality` before ≡ after,
+    * bit-for-bit (asserted by StreamingSpec).
+    *
+    * Exactly-once/crash-safety: the compacted manifest is published with
+    * the same atomic publish-if-absent the epoch manifests use; epoch
+    * manifests are NOT deleted (they stay for epoch-idempotence checks
+    * and audit — a maintenance sweep may expire those ≤ upto separately).
+    * A crash before publish leaves the old state fully readable; a
+    * concurrent double-compaction races to one winner with identical
+    * content. Returns false when < 2 residual epochs exist (nothing worth
+    * folding).
+    */
+  def compactQuality(sinkDir: String): Boolean = {
+    val root = java.nio.file.Paths.get(sinkDir, "quality").toString
+    val (latest, residual) = qualitySources(root)
+    if (residual.size < 2) return false
+    val upTo = residual.max
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // ws -> [we, n, min, max, sum, sumsq, pii]
+    val merged = new java.util.TreeMap[Long, Array[Long]]()
+    def fold(p: Array[Long]): Unit = {
+      val a = merged.get(p(0))
+      if (a == null) merged.put(p(0), p.drop(1))
+      else {
+        a(1) += p(2)
+        if (p(3) < a(2)) a(2) = p(3)
+        if (p(4) > a(3)) a(3) = p(4)
+        a(4) += p(5)
+        a(5) += p(6)
+        a(6) += p(7)
+      }
+    }
+    latest.foreach(u =>
+      qualityPartialsOf(mapper, compactQualityPath(root, u)).foreach(fold))
+    residual.foreach(b =>
+      qualityPartialsOf(mapper, qualityManifestPath(root, b)).foreach(fold))
+    val node = mapper.createObjectNode()
+    node.put("upto_batch", upTo)
+    latest.foreach(node.put("prev_compact", _))
+    val arr = node.putArray("partials")
+    merged.forEach { (ws, a) =>
+      val pn = arr.addObject()
+      pn.put("ws_us", ws); pn.put("we_us", a(0))
+      pn.put("n_turns", a(1))
+      pn.put("len_min", a(2)); pn.put("len_max", a(3))
+      pn.put("len_sum", a(4)); pn.put("len_sumsq", a(5))
+      pn.put("n_pii", a(6))
+    }
+    IceLite.commitIO.publishIfAbsent(
+      compactQualityPath(root, upTo), mapper.writeValueAsString(node))
+  }
+
   def readQuality(spark: SparkSession, sinkDir: String): DataFrame = {
     val root = java.nio.file.Paths.get(sinkDir, "quality").toString
-    val batches = IceLite.committedBatches(root)
-    require(batches.nonEmpty, s"quality table at $root has no committed epochs")
+    // O(compacted) read path: ONE compacted manifest + residual epochs
+    val (latest, residual) = qualitySources(root)
+    require(latest.nonEmpty || residual.nonEmpty,
+      s"quality table at $root has no committed epochs")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    batches.foreach { b =>
-      val node = mapper.readTree(
-        java.nio.file.Files.readString(qualityManifestPath(root, b)))
-      node.get("partials").elements().forEachRemaining { pn =>
+    val sources =
+      latest.map(u => compactQualityPath(root, u)).toSeq ++
+        residual.map(b => qualityManifestPath(root, b))
+    sources.foreach { p =>
+      qualityPartialsOf(mapper, p).foreach(a =>
         rows.add(org.apache.spark.sql.Row(
-          pn.get("ws_us").asLong(), pn.get("we_us").asLong(),
-          pn.get("n_turns").asLong(), pn.get("len_min").asLong(),
-          pn.get("len_max").asLong(), pn.get("len_sum").asLong(),
-          pn.get("len_sumsq").asLong(), pn.get("n_pii").asLong()))
-      }
+          a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7))))
     }
     val schema = StructType(Seq(
       StructField("ws_us", LongType), StructField("we_us", LongType),
@@ -385,7 +570,8 @@ object GuardianStream {
     // drift-window statistics cost zero extra jobs and zero extra scans.
     val qualityMetric = cfg.qualityWindow.map(w =>
       graft.expressions.WindowStatsAgg.column(
-        col("ts"), col("text_len"), col("has_pii"), windowMicros(w)).as("qwin"))
+        col("ts"), col("text_len"), col("has_pii"), windowMicros(w),
+        cfg.qualitySlide.map(windowMicros).getOrElse(0L)).as("qwin"))
     val metrics = baseMetrics ++ qualityMetric
     // Commit-path phase timing (bench diagnosis only; off unless
     // GRAFT_COMMIT_TIMING=1 in the environment).
@@ -447,6 +633,16 @@ object GuardianStream {
           m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]))
     }
     publishSessions(batch.sparkSession, cfg, batchId)
+    // Periodic partial compaction (idempotent, crash-safe: atomic
+    // publish-if-absent of deterministic merged content; old state stays
+    // readable until the compacted manifest lands).
+    cfg.compactEvery.foreach { n =>
+      if (n > 0 && batchId > 0 && batchId % n == 0) {
+        if (cfg.qualityWindow.isDefined) compactQuality(cfg.sinkDir)
+        if (cfg.sessionGap.isDefined) compactSessions(batch.sparkSession, cfg.sinkDir)
+        ()
+      }
+    }
   }
 
   /** Fixed duration string → microseconds (month-bearing intervals have no

@@ -323,8 +323,13 @@ object IceLite {
     * data directories are never listed). basePath makes batch/pid proper
     * partition columns so partition pruning works on them.
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val batches = committedBatches(root)
+  def read(spark: SparkSession, root: String): DataFrame =
+    readBatches(spark, root, committedBatches(root))
+
+  /** Snapshot read of SPECIFIC committed batch ids (the compaction read
+    * path: latest compacted state + residual epochs).
+    */
+  def readBatches(spark: SparkSession, root: String, batches: Seq[Long]): DataFrame = {
     require(batches.nonEmpty, s"IceLite table at $root has no committed batches")
     val dirs = batches.map(b => Paths.get(root, "data", s"batch=$b").toString)
     spark.read

@@ -230,6 +230,133 @@ class StreamingSpec extends SparkSpec {
     assert(s == e, s"merged sessions equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
   }
 
+  test("quality + session partial compaction is lossless and shrinks the read path") {
+    val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 24, seed = 44,
+      stepSeconds = 120, burstLen = 6, sessionGapSeconds = 7200, piiPermille = 80)
+    val base = turnsDF(spec)
+    // six ts-ordered slices ⇒ six epochs of partials to fold
+    val qs = base.withColumn("__uts", unix_timestamp(col("ts")).cast("double"))
+      .stat.approxQuantile("__uts", Array(0.17, 0.33, 0.5, 0.67, 0.83), 0.0)
+      .map(_.toLong)
+    val bounds = (None +: qs.map(Some(_)).toSeq) :+ None
+    val slices = bounds.sliding(2).map { case Seq(lo, hi) =>
+      base.filter(
+        lo.map(l => unix_timestamp(col("ts")) > l).getOrElse(lit(true)) &&
+          hi.map(h => unix_timestamp(col("ts")) <= h).getOrElse(lit(true)))
+    }.toSeq
+    val src = tmp("cmp-src")
+    writeBatches(src, slices)
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("cmp-ck"), sinkDir = tmp("cmp-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"),
+      sessionGap = Some("30 minutes"))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    val qRoot = java.nio.file.Paths.get(cfg.sinkDir, "quality").toString
+    val sRoot = java.nio.file.Paths.get(cfg.sinkDir, "sessions").toString
+    val epochsBefore = GuardianStream.qualitySources(qRoot)._2.size
+    assert(epochsBefore >= 4, s"fixture must commit many epochs ($epochsBefore)")
+
+    def canonQ(): Set[String] = GuardianStream.readQuality(spark, cfg.sinkDir)
+      .select(col("wstart"), col("wend"), col("n_turns"), col("len_min"),
+        col("len_max"), round(col("len_mean"), 4), round(col("len_std"), 4),
+        col("n_pii")).collect().map(_.toString).toSet
+    def canonS(): Set[String] = GuardianStream.readSessionQuality(spark, cfg.sinkDir)
+      .select(col("conv_id"), col("session_start"), col("session_end"),
+        col("n_turns"), round(col("len_mean"), 4), col("n_pii"))
+      .collect().map(_.toString).toSet
+    val qBefore = canonQ(); val sBefore = canonS()
+    assert(qBefore.nonEmpty && sBefore.nonEmpty)
+
+    assert(GuardianStream.compactQuality(cfg.sinkDir), "quality compaction ran")
+    assert(GuardianStream.compactSessions(spark, cfg.sinkDir), "session compaction ran")
+
+    // lossless: merged views identical bit-for-bit
+    assert(canonQ() == qBefore, "readQuality unchanged by compaction")
+    assert(canonS() == sBefore, "readSessionQuality unchanged by compaction")
+    // read path now touches ONE compacted source + zero residual epochs
+    val (qc, qr) = GuardianStream.qualitySources(qRoot)
+    val (sc, sr) = GuardianStream.qualitySources(sRoot)
+    assert(qc.nonEmpty && qr.isEmpty, s"quality residual after compaction: $qr")
+    assert(sc.nonEmpty && sr.isEmpty, s"sessions residual after compaction: $sr")
+    // nothing left to fold ⇒ no-op, and a SECOND compaction cycle after
+    // more epochs folds the previous compact + residuals (associativity)
+    assert(!GuardianStream.compactQuality(cfg.sinkDir))
+    assert(!GuardianStream.compactSessions(spark, cfg.sinkDir))
+  }
+
+  test("auto-compaction every N epochs keeps the manifest count bounded") {
+    val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 16, seed = 45,
+      stepSeconds = 300, burstLen = 1000, piiPermille = 50)
+    val base = turnsDF(spec)
+    val qs = base.withColumn("__uts", unix_timestamp(col("ts")).cast("double"))
+      .stat.approxQuantile("__uts", Array(0.25, 0.5, 0.75), 0.0).map(_.toLong)
+    val bounds = (None +: qs.map(Some(_)).toSeq) :+ None
+    val slices = bounds.sliding(2).map { case Seq(lo, hi) =>
+      base.filter(
+        lo.map(l => unix_timestamp(col("ts")) > l).getOrElse(lit(true)) &&
+          hi.map(h => unix_timestamp(col("ts")) <= h).getOrElse(lit(true)))
+    }.toSeq
+    val src = tmp("auto-src")
+    writeBatches(src, slices)
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("auto-ck"), sinkDir = tmp("auto-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"),
+      compactEvery = Some(2))
+    GuardianStream.start(spark, cfg).awaitTermination()
+    val qRoot = java.nio.file.Paths.get(cfg.sinkDir, "quality").toString
+    val (compact, residual) = GuardianStream.qualitySources(qRoot)
+    assert(compact.nonEmpty, "auto-compaction published a compacted manifest")
+    assert(residual.size <= 2, s"residual epochs bounded by the cadence: $residual")
+    // and the merged view still matches the per-epoch manifests' total
+    val nTotal = GuardianStream.readQuality(spark, cfg.sinkDir)
+      .agg(sum("n_turns")).collect()(0).getLong(0)
+    assert(nTotal == base.count())
+  }
+
+  test("sliding quality windows ride the in-flow sink and equal the batch aggregation") {
+    import graft.validate.Validator
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 46,
+      stepSeconds = 120, burstLen = 1000, piiPermille = 100)
+    val base = turnsDF(spec)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("slide-src")
+    writeBatches(src, Seq(
+      base.filter(unix_timestamp(col("ts")) <= mid),
+      base.filter(unix_timestamp(col("ts")) > mid)))
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("slide-ck"), sinkDir = tmp("slide-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"),
+      qualitySlide = Some("15 minutes"))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    val streamed = GuardianStream.readQuality(spark, cfg.sinkDir)
+    val expected = GuardianStream.transforms(base.as[Turn], cfg)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("text_len")).as("len_min"),
+        max(col("text_len")).as("len_max"),
+        Validator.meanExpr(col("text_len")).as("len_mean"),
+        Validator.stdExpr(col("text_len")).as("len_std"),
+        sum(col("has_pii").cast("long")).as("n_pii"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("n_turns"), col("len_min"), col("len_max"),
+        col("len_mean"), col("len_std"), col("n_pii"))
+    def canon(df: DataFrame): Set[String] = df.select(
+      col("wstart"), col("wend"), col("n_turns"), col("len_min"),
+      col("len_max"), round(col("len_mean"), 4), round(col("len_std"), 4),
+      col("n_pii")).collect().map(_.toString).toSet
+    val s = canon(streamed); val e = canon(expected)
+    assert(e.size > 8, "sliding fixture spans many windows")
+    assert(s == e,
+      s"sliding quality windows equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
+  }
+
   test("late rows behind the watermark are dropped") {
     val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
       stepSeconds = 60, burstLen = 100)
