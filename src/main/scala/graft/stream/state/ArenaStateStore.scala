@@ -66,6 +66,15 @@ class ArenaStateStoreProvider extends StateStoreProvider {
   private var hadoopConf: Configuration = _
   private var fs: FileSystem = _
   private var baseDir: HPath = _
+  /** ADVICE r3: `get` returns a reused row valid only until the next
+    * get/put — narrower than the built-in providers. The operators this
+    * engine plans (dedup, join, agg) all consume a lookup before the next
+    * one; an operator that must HOLD a looked-up value across lookups
+    * sets `spark.hadoop.graft.arena.copyOnGet=true` (or env
+    * SPARK_GRAFT_ARENA_COPY_ON_GET=1) to get stable copies instead of
+    * silently reading corrupted state.
+    */
+  private var copyOnGet = false
 
   private val map = new ArenaMap
   /** Last version whose state the in-memory map reflects. */
@@ -100,6 +109,8 @@ class ArenaStateStoreProvider extends StateStoreProvider {
     this.hadoopConf = hadoopConf
     this.baseDir = stateStoreId.storeCheckpointLocation()
     this.fs = baseDir.getFileSystem(hadoopConf)
+    this.copyOnGet = hadoopConf.getBoolean("graft.arena.copyOnGet", false) ||
+      sys.env.get("SPARK_GRAFT_ARENA_COPY_ON_GET").contains("1")
     fs.mkdirs(baseDir)
   }
 
@@ -309,7 +320,8 @@ class ArenaStateStoreProvider extends StateStoreProvider {
 
     override def get(key: UnsafeRow, colFamilyName: String): UnsafeRow = {
       checkFamily(colFamilyName); checkLive()
-      map.get(key, valueSchema.length)
+      val r = map.get(key, valueSchema.length)
+      if (copyOnGet && r != null) r.copy() else r
     }
 
     override def put(key: UnsafeRow, value: UnsafeRow, colFamilyName: String): Unit = {
