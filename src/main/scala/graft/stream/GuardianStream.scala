@@ -498,6 +498,59 @@ object GuardianStream {
       compactQualityPath(root, upTo), mapper.writeValueAsString(node))
   }
 
+  /** Expire state superseded by compaction (the Iceberg
+    * `expire_snapshots` discipline): per-epoch quality manifests at or
+    * below the latest compacted manifest's upto-batch, and session epoch
+    * manifests/data plus older compacted session tables. Reads are
+    * unaffected (readers already prefer the compacted state); safe
+    * against redelivery because Structured Streaming re-runs only the
+    * LATEST batch after a crash, and the latest batch's partials are
+    * never folded before its own publishes complete (auto-compaction
+    * runs at the END of processBatch). Returns the number of files/dirs
+    * removed.
+    */
+  def expireFolded(sinkDir: String): Int = {
+    var removed = 0
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    def sweep(root: String, alsoData: Boolean): Unit = {
+      val (latest, _) = qualitySources(root)
+      latest.foreach { upTo =>
+        val mdir = java.nio.file.Paths.get(root, "manifests")
+        IceLite.commitIO.listNames(mdir).foreach { n =>
+          val folded =
+            (n.startsWith("manifest-") && n.endsWith(".json") &&
+              n.stripPrefix("manifest-").stripSuffix(".json").toLong <= upTo) ||
+            (n.startsWith("compact-") && n.endsWith(".json") &&
+              n.stripPrefix("compact-").stripSuffix(".json").toLong < upTo)
+          if (folded) {
+            val p = mdir.resolve(n)
+            // data dirs referenced by the folded state go first, so a
+            // crash mid-sweep never leaves a manifest pointing nowhere
+            if (alsoData) {
+              if (n.startsWith("manifest-")) {
+                val b = n.stripPrefix("manifest-").stripSuffix(".json").toLong
+                rmTree(
+                  java.nio.file.Paths.get(root, "data", s"batch=$b").toFile)
+              } else {
+                val u = n.stripPrefix("compact-").stripSuffix(".json").toLong
+                rmTree(
+                  java.nio.file.Paths.get(root, "compact", u.toString).toFile)
+              }
+            }
+            if (java.nio.file.Files.deleteIfExists(p)) removed += 1
+          }
+        }
+      }
+    }
+    sweep(java.nio.file.Paths.get(sinkDir, "quality").toString, alsoData = false)
+    sweep(java.nio.file.Paths.get(sinkDir, "sessions").toString, alsoData = true)
+    removed
+  }
+
   def readQuality(spark: SparkSession, sinkDir: String): DataFrame = {
     val root = java.nio.file.Paths.get(sinkDir, "quality").toString
     // O(compacted) read path: ONE compacted manifest + residual epochs

@@ -284,6 +284,15 @@ class StreamingSpec extends SparkSpec {
     // more epochs folds the previous compact + residuals (associativity)
     assert(!GuardianStream.compactQuality(cfg.sinkDir))
     assert(!GuardianStream.compactSessions(spark, cfg.sinkDir))
+
+    // expiry: folded epoch manifests + superseded session data removed,
+    // merged views byte-identical after the sweep
+    val removed = GuardianStream.expireFolded(cfg.sinkDir)
+    assert(removed >= epochsBefore, s"expiry removed $removed files")
+    assert(IceLite.committedBatches(qRoot).isEmpty, "folded quality manifests expired")
+    assert(canonQ() == qBefore, "readQuality unchanged by expiry")
+    assert(canonS() == sBefore, "readSessionQuality unchanged by expiry")
+    assert(GuardianStream.expireFolded(cfg.sinkDir) == 0, "expiry is idempotent")
   }
 
   test("auto-compaction every N epochs keeps the manifest count bounded") {
