@@ -312,7 +312,10 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory(base, "graft-prov-e2e")
       else java.nio.file.Files.createTempDirectory("graft-prov-e2e")).toString
       e2eScratch.add(root)
-      val fixture = e2eTurnsFromEvents(t(s, dir, "events"))
+      // persisted: BOTH side writes (raw + skewed twin) derive from the
+      // same window-function fixture — without the cache the events scan
+      // + per-user sort runs twice; released by the caller's clearCache
+      val fixture = e2eTurnsFromEvents(t(s, dir, "events")).persist()
       val raw = fixture.drop("event_id")
       val gen = fixture
         .withColumn("__skew",
