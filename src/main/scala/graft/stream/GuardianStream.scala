@@ -590,6 +590,24 @@ object GuardianStream {
         sum(col("n_pii")).as("n_pii"))
   }
 
+  /** Standing drift monitor over the audit sink's in-flow quality
+    * partials: the same Welch mean-shift z `Windows.driftDetect` computes
+    * from raw rows, but fed from the merged per-window statistics the
+    * epochs already published — NO rescan of sunk data, O(windows) work
+    * regardless of row count (and O(compacted) manifest reads after
+    * `compactQuality`). This is what a deployment actually polls: the
+    * write path validates in-flow, the monitor reads only partials.
+    */
+  def driftFromQuality(
+      spark: SparkSession, sinkDir: String, zThreshold: Double = 3.0): DataFrame =
+    Windows.driftDetectOnAgg(
+      readQuality(spark, sinkDir).select(
+        col("wstart"),
+        col("n_turns").as("n"),
+        col("len_mean").as("mean"),
+        col("len_std").as("std")),
+      zThreshold)
+
   /** Validate one micro-batch and commit it exactly-once.
     *
     * Cost discipline (this is the per-epoch hot path): the transform

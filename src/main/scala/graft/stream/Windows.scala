@@ -85,9 +85,6 @@ object Windows {
   def driftDetect(
       df: DataFrame, valueCol: String, windowSize: String,
       zThreshold: Double = 3.0): DataFrame = {
-    // lag over the (small: time-span / windowSize rows) aggregated window
-    // table — a single-partition sort over aggregates, never over raw rows
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("wstart"))
     val v = col(valueCol).cast("double")
     val agg = df
       .groupBy(window(col("ts"), windowSize).as("w"))
@@ -96,6 +93,18 @@ object Windows {
         Validator.meanExpr(v).as("mean"),
         Validator.stdExpr(v).as("std"))
       .select(col("w.start").as("wstart"), col("n"), col("mean"), col("std"))
+    driftDetectOnAgg(agg, zThreshold)
+  }
+
+  /** Welch mean-shift z over an ALREADY-aggregated per-window table
+    * `(wstart, n, mean, std)` — shared by the raw-rows form above and the
+    * standing monitor over the audit sink's in-flow quality partials
+    * (`GuardianStream.driftFromQuality`), which never rescans data rows.
+    */
+  def driftDetectOnAgg(agg: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    // lag over the (small: time-span / windowSize rows) aggregated window
+    // table — a single-partition sort over aggregates, never over raw rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("wstart"))
     agg
       .withColumn("prev_n", lag(col("n"), 1).over(w))
       .withColumn("prev_mean", lag(col("mean"), 1).over(w))

@@ -325,6 +325,38 @@ class StreamingSpec extends SparkSpec {
     assert(nTotal == base.count())
   }
 
+  test("standing drift monitor over quality partials equals the batch drift detector") {
+    val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 20, seed = 47,
+      stepSeconds = 300, burstLen = 1000, piiPermille = 60)
+    val base = turnsDF(spec)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("dm-src")
+    writeBatches(src, Seq(
+      base.filter(unix_timestamp(col("ts")) <= mid),
+      base.filter(unix_timestamp(col("ts")) > mid)))
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("dm-ck"), sinkDir = tmp("dm-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    // the monitor reads ONLY the published partials (no data rescan)
+    val monitor = GuardianStream.driftFromQuality(spark, cfg.sinkDir)
+    val expected = Windows.driftDetect(
+      GuardianStream.transforms(base.as[Turn], cfg).select(col("ts"), col("text_len")),
+      "text_len", "1 hour")
+    def canon(df: DataFrame): Set[String] = df.select(
+      col("wstart"), col("n"), round(col("mean"), 3), round(col("std"), 3),
+      round(col("z"), 2), col("drifted")).collect().map(_.toString).toSet
+    val m = canon(monitor); val e = canon(expected)
+    assert(e.size > 5 && m == e,
+      s"monitor equals batch drift: ${(e -- m).take(3)} vs ${(m -- e).take(3)}")
+    // and it stays identical after compaction folds the partials
+    assert(GuardianStream.compactQuality(cfg.sinkDir))
+    assert(canon(GuardianStream.driftFromQuality(spark, cfg.sinkDir)) == e)
+  }
+
   test("sliding quality windows ride the in-flow sink and equal the batch aggregation") {
     import graft.validate.Validator
     val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 46,
