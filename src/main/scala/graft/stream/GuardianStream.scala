@@ -410,19 +410,8 @@ object GuardianStream {
     * folded into it) — what a reader must parse: O(1) compacted state +
     * the residual epochs, never every epoch since stream start.
     */
-  private[graft] def qualitySources(root: String): (Option[Long], Seq[Long]) = {
-    val names = IceLite.commitIO.listNames(java.nio.file.Paths.get(root, "manifests"))
-    val compacts = names
-      .filter(n => n.startsWith("compact-") && n.endsWith(".json"))
-      .map(_.stripPrefix("compact-").stripSuffix(".json").toLong)
-    val latest = compacts.sorted.lastOption
-    val epochs = names
-      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
-      .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong)
-      .filter(b => latest.forall(b > _))
-      .sorted
-    (latest, epochs)
-  }
+  private[graft] def qualitySources(root: String): (Option[Long], Seq[Long]) =
+    IceLite.compactSources(root)
 
   /** Partial rows [ws, we, n, min, max, sum, sumsq, pii] of one quality
     * manifest (epoch or compacted — same JSON shape).

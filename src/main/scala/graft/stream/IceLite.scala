@@ -323,8 +323,20 @@ object IceLite {
     * data directories are never listed). basePath makes batch/pid proper
     * partition columns so partition pruning works on them.
     */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readBatches(spark, root, committedBatches(root))
+  /** Snapshot read: the latest COMPACTED table (if any) plus residual
+    * committed batches — O(compacted) paths instead of one directory per
+    * epoch since stream start. Uncompacted tables read exactly as before
+    * (every manifest-listed batch; uncommitted dirs never visible).
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val (latest, residual) = compactSources(root)
+    require(latest.nonEmpty || residual.nonEmpty,
+      s"IceLite table at $root has no committed batches")
+    val parts =
+      latest.map(u => spark.read.parquet(compactDataDir(root, u))).toSeq ++
+        (if (residual.nonEmpty) Seq(readBatches(spark, root, residual)) else Seq.empty)
+    parts.reduce(_.unionByName(_))
+  }
 
   /** Snapshot read of SPECIFIC committed batch ids (the compaction read
     * path: latest compacted state + residual epochs).
@@ -336,5 +348,101 @@ object IceLite {
       .option("basePath", Paths.get(root, "data").toString)
       .parquet(dirs: _*)
       .drop("pid", "batch")
+  }
+
+  // ---- table maintenance: fold epoch dirs into one compacted table ----
+  // The small-files discipline a standing query needs at deployment
+  // horizons: a month of seconds-cadence epochs is ~10^6 batch
+  // directories — listing and scan planning over them dominates any
+  // read. Same atomic-marker pattern as the quality/session partial
+  // compaction (write data invisible, publish marker winner-takes-all,
+  // expire superseded state separately).
+
+  private def compactMarkerPath(root: String, upTo: Long): Path =
+    Paths.get(root, "manifests", f"compact-$upTo%09d.json")
+
+  def compactDataDir(root: String, upTo: Long): String =
+    Paths.get(root, "compact", upTo.toString).toString
+
+  /** (latest compacted marker's upto-batch, committed batches after it). */
+  def compactSources(root: String): (Option[Long], Seq[Long]) = {
+    val names = commitIO.listNames(Paths.get(root, "manifests"))
+    val latest = names
+      .filter(n => n.startsWith("compact-") && n.endsWith(".json"))
+      .map(_.stripPrefix("compact-").stripSuffix(".json").toLong)
+      .sorted.lastOption
+    val residual = names
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      .filter(b => latest.forall(b > _))
+      .sorted
+    (latest, residual)
+  }
+
+  /** Fold the residual committed batches (plus the previous compacted
+    * table, if any) into ONE compacted parquet table. Pure rewrite —
+    * audit rows are immutable facts, so read-before ≡ read-after. The
+    * marker carries the folded row count so accounting survives expiry
+    * of the per-epoch manifests. Returns false with < 2 residual batches.
+    *
+    * Cost note: this rewrite is O(previous compact + residual) — a
+    * MAINTENANCE action run at coarse cadence, unlike the every-N-epochs
+    * partial compaction (whose tables are tiny). A production rewrite at
+    * 100 TB would bin-pack incrementally (rewrite only undersized files,
+    * Iceberg's rewrite_data_files); the marker/visibility protocol here
+    * is the part that carries over unchanged.
+    */
+  def compact(spark: SparkSession, root: String): Boolean = {
+    val (latest, residual) = compactSources(root)
+    if (residual.size < 2) return false
+    val upTo = residual.max
+    val parts =
+      latest.map(u => spark.read.parquet(compactDataDir(root, u))).toSeq :+
+        readBatches(spark, root, residual)
+    val folded = parts.reduce(_.unionByName(_))
+    folded.write.mode("overwrite").parquet(compactDataDir(root, upTo))
+    val prevRows = latest.map { u =>
+      val n = mapper.readTree(Files.readString(compactMarkerPath(root, u)))
+      n.get("row_count").asLong()
+    }.getOrElse(0L)
+    val node = mapper.createObjectNode()
+    node.put("upto_batch", upTo)
+    latest.foreach(node.put("prev_compact", _))
+    node.put("row_count",
+      prevRows + residual.map(b => readManifest(root, b).rowCount).sum)
+    commitIO.publishIfAbsent(
+      compactMarkerPath(root, upTo), mapper.writeValueAsString(node))
+  }
+
+  /** Expire state superseded by `compact`: folded epoch data dirs and
+    * manifests, and older compacted tables (data before manifests so a
+    * crash mid-sweep never leaves a marker pointing nowhere). Idempotent.
+    */
+  def expireCompacted(root: String): Int = {
+    val (latest, _) = compactSources(root)
+    var removed = 0
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    latest.foreach { upTo =>
+      val mdir = Paths.get(root, "manifests")
+      commitIO.listNames(mdir).foreach { n =>
+        val p = mdir.resolve(n)
+        if (n.startsWith("manifest-") && n.endsWith(".json") &&
+            n.stripPrefix("manifest-").stripSuffix(".json").toLong <= upTo) {
+          rmTree(Paths.get(root, "data",
+            s"batch=${n.stripPrefix("manifest-").stripSuffix(".json").toLong}").toFile)
+          if (Files.deleteIfExists(p)) removed += 1
+        } else if (n.startsWith("compact-") && n.endsWith(".json") &&
+            n.stripPrefix("compact-").stripSuffix(".json").toLong < upTo) {
+          rmTree(new java.io.File(
+            compactDataDir(root, n.stripPrefix("compact-").stripSuffix(".json").toLong)))
+          if (Files.deleteIfExists(p)) removed += 1
+        }
+      }
+    }
+    removed
   }
 }

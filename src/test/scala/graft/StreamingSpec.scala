@@ -325,6 +325,45 @@ class StreamingSpec extends SparkSpec {
     assert(nTotal == base.count())
   }
 
+  test("IceLite audit-table compaction: snapshot read identical, expiry removes folded epochs") {
+    val spec = TranscriptSpec(nConvs = 5, turnsPerConv = 16, seed = 48,
+      stepSeconds = 240, burstLen = 1000, piiPermille = 40)
+    val base = turnsDF(spec)
+    val qs = base.withColumn("__uts", unix_timestamp(col("ts")).cast("double"))
+      .stat.approxQuantile("__uts", Array(0.25, 0.5, 0.75), 0.0).map(_.toLong)
+    val bounds = (None +: qs.map(Some(_)).toSeq) :+ None
+    val slices = bounds.sliding(2).map { case Seq(lo, hi) =>
+      base.filter(
+        lo.map(l => unix_timestamp(col("ts")) > l).getOrElse(lit(true)) &&
+          hi.map(h => unix_timestamp(col("ts")) <= h).getOrElse(lit(true)))
+    }.toSeq
+    val src = tmp("ac-src")
+    writeBatches(src, slices)
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("ac-ck"), sinkDir = tmp("ac-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = None)
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    def canon(): Set[String] =
+      IceLite.read(spark, cfg.sinkDir).collect().map(_.toString).toSet
+    val before = canon()
+    val epochs = IceLite.committedBatches(cfg.sinkDir)
+    assert(epochs.size >= 3 && before.size == base.count())
+
+    assert(IceLite.compact(spark, cfg.sinkDir), "audit compaction ran")
+    assert(canon() == before, "snapshot read unchanged by compaction")
+    val (marker, residual) = IceLite.compactSources(cfg.sinkDir)
+    assert(marker.nonEmpty && residual.isEmpty)
+
+    val removed = IceLite.expireCompacted(cfg.sinkDir)
+    assert(removed >= epochs.size, s"expiry removed $removed")
+    assert(canon() == before, "snapshot read unchanged by expiry")
+    assert(!new java.io.File(cfg.sinkDir, s"data/batch=${epochs.head}").exists())
+    assert(!IceLite.compact(spark, cfg.sinkDir), "nothing left to fold")
+    assert(IceLite.expireCompacted(cfg.sinkDir) == 0, "expiry idempotent")
+  }
+
   test("standing drift monitor over quality partials equals the batch drift detector") {
     val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 20, seed = 47,
       stepSeconds = 300, burstLen = 1000, piiPermille = 60)
