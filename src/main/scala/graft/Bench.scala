@@ -443,6 +443,22 @@ object Bench {
     // disclosed retry budget is exhausted. The band comes from the
     // rolling bench_band.json sidecar (same config signature only).
     val bandRetryBudget = sys.env.getOrElse("SPARK_GRAFT_BAND_RETRY", "3").toInt
+    // Wall-clock budget for ALL retry machinery (band pairs + latency
+    // retries): in a persistently degraded window every fork also runs
+    // slower, and an unbounded retry cascade pushed one run to 14+ min —
+    // past any reasonable driver budget. Past the deadline the run ships
+    // what it has, with the cut disclosed (`bench_deadline_hit`).
+    val benchT0 = System.currentTimeMillis()
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "540").toInt
+    def pastDeadline: Boolean = (System.currentTimeMillis() - benchT0) / 1000 >= deadlineSec
+    var deadlineHit = false
+    def allowRetry(what: String): Boolean =
+      if (!pastDeadline) true
+      else {
+        deadlineHit = true
+        System.err.println(s"[bench] deadline ${deadlineSec}s reached — skipping $what")
+        false
+      }
     def levelsDepressed(ps: Seq[(ForkResult, ForkResult)]): Boolean = {
       val b8 = ps.map(_._1.r.steadyTp).max
       val b32 = ps.map(_._2.r.steadyTp).max
@@ -450,7 +466,8 @@ object Bench {
     }
     var pairs = adaptivePairs
     var bandRetries = 0
-    while (levelsDepressed(pairs) && bandRetries < bandRetryBudget) {
+    while (levelsDepressed(pairs) && bandRetries < bandRetryBudget &&
+        allowRetry("band retry pair")) {
       bandRetries += 1
       System.err.println(
         f"[bench] band retry $bandRetries/$bandRetryBudget: " +
@@ -534,10 +551,14 @@ object Bench {
       val (g1, a1) = latAt(c, gate)
       if (latRuns <= 0) (g1, a1, false, false)
       else if (g1.isEmpty) {
-        System.err.println(s"[bench] latency fork ($c) gate-empty; retrying in a later window")
-        val (g2, a2) = latAt(c, gate)
-        (g2, a1 ++ a2, g2.isEmpty, false)
-      } else if (bandP99 > 0 && p99(g1) > 3 * bandP99) {
+        if (!allowRetry(s"gate-empty latency retry ($c)")) (g1, a1, true, false)
+        else {
+          System.err.println(s"[bench] latency fork ($c) gate-empty; retrying in a later window")
+          val (g2, a2) = latAt(c, gate)
+          (g2, a1 ++ a2, g2.isEmpty, false)
+        }
+      } else if (bandP99 > 0 && p99(g1) > 3 * bandP99 &&
+          allowRetry(s"p99-band latency retry ($c)")) {
         System.err.println(
           f"[bench] latency fork ($c) p99 ${p99(g1)}%.0f ms > 3x band $bandP99%.0f ms; retrying")
         val (g2, a2) = latAt(c, gate)
@@ -609,7 +630,8 @@ object Bench {
         f""""band_healthy_local8":${band8 <= 0 || best8.r.steadyTp >= 0.7 * band8},""" +
         f""""band_healthy_local32":${band32 <= 0 || best32.r.steadyTp >= 0.7 * band32},""" +
         f""""commit_gate_exhausted_local8":$gateExhausted8,"commit_gate_exhausted_local32":$gateExhausted32,""" +
-        f""""p99_band_retry_local8":$p99Retried8,"p99_band_retry_local32":$p99Retried32}"""
+        f""""p99_band_retry_local8":$p99Retried8,"p99_band_retry_local32":$p99Retried32,""" +
+        f""""bench_deadline_hit":$deadlineHit}"""
     val line =
       s"""{"metric":"validated+watermarked turns/sec end-to-end (local[32]); batch query total sec","value":$totalSec,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}"""
     // The driver parses stdout; a file copy survives any log interleaving.
