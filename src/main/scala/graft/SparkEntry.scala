@@ -385,6 +385,11 @@ object SparkEntry {
         sinkDir = s"$root/sink", watermarkPayload = "WM01",
         watermarkDelay = "365 days", availableNow = true)
       graft.stream.GuardianStream.start(s, cfg).awaitTermination()
+      // fold the epoch dirs + expire the superseded state BEFORE the
+      // read-back: the driver's hash-exact compare then certifies the
+      // COMPACTED read path end-to-end, not just the per-epoch one
+      graft.stream.IceLite.compact(s, cfg.sinkDir)
+      graft.stream.IceLite.expireCompacted(cfg.sinkDir)
       val audit = graft.stream.IceLite.read(s, cfg.sinkDir)
       Watermarker.verifyTurnTsPerConv(audit, "WM01").filter(col("verified"))
     }),
