@@ -491,6 +491,25 @@ object Bench {
     val effPaired = median(pairEffs)
     val machineEffs = pairs.map { case (a, b) => (a.calibSec / b.calibSec) / 4.0 }
     val machineEff = median(machineEffs)
+    // Healthy-PAIR efficiency: the best weather-matched pair where BOTH
+    // levels sit within 0.7x their documented band — the cleanest
+    // same-window read of the ratio. Best-per-level mixes windows and can
+    // undersell badly when one level recovers mid-run (a late healthy 8
+    // against an earlier depressed 32 recorded 0.19 in one run); the
+    // paired number never compares across windows. 0 when no pair
+    // qualifies (disclosed).
+    val healthyPairs = pairs.filter { case (a, b) =>
+      (band8 <= 0 || a.r.steadyTp >= 0.7 * band8) &&
+        (band32 <= 0 || b.r.steadyTp >= 0.7 * band32)
+    }
+    val (effHealthyPair, normHealthyPair) =
+      if (healthyPairs.isEmpty) (0.0, 0.0)
+      else {
+        val hp = healthyPairs.maxBy { case (a, b) => b.r.steadyTp / a.r.steadyTp }
+        val e = (hp._2.r.steadyTp / hp._1.r.steadyTp) / 4.0
+        val m = (hp._1.calibSec / hp._2.calibSec) / 4.0
+        (e, math.min(1.0, if (m > 0) e / m else 0.0))
+      }
     // p99 over the POOLED steady-state commits of all the level's
     // interleaved runs (a single run contributes only ~4 samples, making
     // its p99 a weather-exposed max)
@@ -625,6 +644,9 @@ object Bench {
         f""""commit_p99_ms_local8_allruns":${p99(lat8All)}%.1f,"commit_p99_ms_local32_allruns":${p99(lat32All)}%.1f,""" +
         f""""commit_p99_ms_local8_tp":$p99_8Tp%.1f,"commit_p99_ms_local32_tp":$p99_32Tp%.1f,""" +
         f""""commit_p99_ms_local8_tp_allruns":$p99_8All%.1f,"commit_p99_ms_local32_tp_allruns":$p99_32All%.1f,""" +
+        f""""scaling_efficiency_healthy_pair":$effHealthyPair%.3f,""" +
+        f""""normalized_scaling_efficiency_healthy_pair":$normHealthyPair%.3f,""" +
+        f""""healthy_pairs":${healthyPairs.length},""" +
         f""""band_best_local8":$band8%.0f,"band_best_local32":$band32%.0f,""" +
         f""""band_retry_pairs":$bandRetries,""" +
         f""""band_healthy_local8":${band8 <= 0 || best8.r.steadyTp >= 0.7 * band8},""" +
