@@ -393,10 +393,20 @@ object Bench {
     // range-local neighbor, and the placement is disclosed per fork
     // (`fork_cores`). The 32-fork always takes the full range.
     def streamAt(cpus: Int, pairIdx: Int = 0): ForkResult = {
+      // rotation includes the MIDDLE ranges: co-tenants have been observed
+      // camping on the low (round-3) and on BOTH end ranges at once
+      // (round-4 run 5: 8-level depressed on 0-7 AND 24-31 for a whole
+      // run while the 32-level sat healthy) — the mid-socket placements
+      // give the retry pairs two more chances to dodge a range-local
+      // neighbor; placement stays disclosed per fork.
       val cores =
         if (cpus >= 32) "0-31"
-        else if (pairIdx % 2 == 0) s"${32 - cpus}-31"
-        else s"0-${cpus - 1}"
+        else pairIdx % 4 match {
+          case 0 => s"${32 - cpus}-31"
+          case 1 => s"0-${cpus - 1}"
+          case 2 => s"$cpus-${2 * cpus - 1}"
+          case _ => s"${32 - 2 * cpus}-${32 - cpus - 1}"
+        }
       def once(): ForkResult = {
         val t = System.currentTimeMillis() / 1000
         val j = forkPinned(cpus, "stream", srcDir, warmDir, cores)
