@@ -600,12 +600,16 @@ object Bench {
     val (lat32G, lat32All, gateExhausted32, p99Retried32) =
       latWithRetry(32, gate32, band.map(_.p99_32).getOrElse(0.0))
     // Fallback chain for the headline pool: weather-gated latency
-    // commits → ungated latency commits → the throughput runs' (few,
-    // big-batch) commits. Never an empty pool masquerading as p99=0.
+    // commits → the throughput runs' HEALTHY (gated) big-batch commits →
+    // ungated latency commits. A known-outage latency pool never outranks
+    // a healthy pool of any size (run r4-8: the gate-empty 32-level fell
+    // back to a 12.4 s ungated pool while the healthy big-batch pool sat
+    // at 1.8 s); sample counts stay disclosed. Never an empty pool
+    // masquerading as p99=0.
     val tpPool8 = all8.filter(_.r.steadyTp >= best8.r.steadyTp * 0.5).flatMap(_.r.commitsMs)
     val tpPool32 = all32.filter(_.r.steadyTp >= best32.r.steadyTp * 0.5).flatMap(_.r.commitsMs)
-    val lat8 = Seq(lat8G, lat8All, tpPool8).find(_.nonEmpty).getOrElse(Seq.empty)
-    val lat32 = Seq(lat32G, lat32All, tpPool32).find(_.nonEmpty).getOrElse(Seq.empty)
+    val lat8 = Seq(lat8G, tpPool8, lat8All).find(_.nonEmpty).getOrElse(Seq.empty)
+    val lat32 = Seq(lat32G, tpPool32, lat32All).find(_.nonEmpty).getOrElse(Seq.empty)
     // disclosed per-commit batch size of the latency samples, from the
     // ACTUAL source file count (do not assume the writer's partitioning)
     val srcFileCount = math.max(1, Option(new java.io.File(srcDir).listFiles())
