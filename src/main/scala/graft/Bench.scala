@@ -469,10 +469,18 @@ object Bench {
         System.err.println(s"[bench] deadline ${deadlineSec}s reached — skipping $what")
         false
       }
+    def isHealthyPair(p: (ForkResult, ForkResult)): Boolean =
+      (band8 <= 0 || p._1.r.steadyTp >= 0.7 * band8) &&
+        (band32 <= 0 || p._2.r.steadyTp >= 0.7 * band32)
+    // Retry when either level's best sits below its band — or when the
+    // levels look healthy only across DIFFERENT pairs (no single
+    // weather-matched healthy pair): the paired ratio is the honest
+    // number, so one more window is worth the bounded cost.
     def levelsDepressed(ps: Seq[(ForkResult, ForkResult)]): Boolean = {
       val b8 = ps.map(_._1.r.steadyTp).max
       val b32 = ps.map(_._2.r.steadyTp).max
-      (band8 > 0 && b8 < 0.7 * band8) || (band32 > 0 && b32 < 0.7 * band32)
+      (band8 > 0 && b8 < 0.7 * band8) || (band32 > 0 && b32 < 0.7 * band32) ||
+        (band8 > 0 && band32 > 0 && !ps.exists(isHealthyPair))
     }
     var pairs = adaptivePairs
     var bandRetries = 0
@@ -508,10 +516,7 @@ object Bench {
     // against an earlier depressed 32 recorded 0.19 in one run); the
     // paired number never compares across windows. 0 when no pair
     // qualifies (disclosed).
-    val healthyPairs = pairs.filter { case (a, b) =>
-      (band8 <= 0 || a.r.steadyTp >= 0.7 * band8) &&
-        (band32 <= 0 || b.r.steadyTp >= 0.7 * band32)
-    }
+    val healthyPairs = pairs.filter(isHealthyPair)
     val (effHealthyPair, normHealthyPair) =
       if (healthyPairs.isEmpty) (0.0, 0.0)
       else {
