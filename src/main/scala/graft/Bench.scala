@@ -455,11 +455,17 @@ object Bench {
     val bandRetryBudget = sys.env.getOrElse("SPARK_GRAFT_BAND_RETRY", "3").toInt
     // Wall-clock budget for ALL retry machinery (band pairs + latency
     // retries): in a persistently degraded window every fork also runs
-    // slower, and an unbounded retry cascade pushed one run to 14+ min —
-    // past any reasonable driver budget. Past the deadline the run ships
-    // what it has, with the cut disclosed (`bench_deadline_hit`).
+    // slower, and an unbounded retry cascade pushed one run to 14+ min.
+    // Default raised 540 → 1320 s (VERDICT r4 item 1): an artifact of
+    // record is worth 2-3× the iteration-speed budget when it buys the
+    // retry cascade enough room to escape a 20-minute host phase; builder
+    // iteration runs set SPARK_GRAFT_BENCH_DEADLINE_SEC lower. Past the
+    // deadline the run ships what it has, with the cut disclosed
+    // (`bench_deadline_hit`) — and when that happens with ZERO healthy
+    // pairs the artifact self-labels `rerun_recommended` (the run measured
+    // a host outage, not the engine).
     val benchT0 = System.currentTimeMillis()
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "540").toInt
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1320").toInt
     def pastDeadline: Boolean = (System.currentTimeMillis() - benchT0) / 1000 >= deadlineSec
     var deadlineHit = false
     def allowRetry(what: String): Boolean =
@@ -613,8 +619,32 @@ object Bench {
     // masquerading as p99=0.
     val tpPool8 = all8.filter(_.r.steadyTp >= best8.r.steadyTp * 0.5).flatMap(_.r.commitsMs)
     val tpPool32 = all32.filter(_.r.steadyTp >= best32.r.steadyTp * 0.5).flatMap(_.r.commitsMs)
-    val lat8 = Seq(lat8G, tpPool8, lat8All).find(_.nonEmpty).getOrElse(Seq.empty)
-    val lat32 = Seq(lat32G, tpPool32, lat32All).find(_.nonEmpty).getOrElse(Seq.empty)
+    // BAND-gated tp pools (VERDICT r4 item 3): the r4 artifact's headline
+    // p99@32 came from the tp pool of a depressed window — the same
+    // failure the latency-fork gate catches, one fallback tier down. A tp
+    // run contributes only when its steady rate also sits within the
+    // historical band (same 0.7x criterion as isHealthyPair; tp runs use
+    // the band's own batch size, so no small-batch discount applies).
+    def tpPoolBand(all: Seq[ForkResult], best: ForkResult, band: Double): Seq[Double] =
+      all.filter(f => f.r.steadyTp >= best.r.steadyTp * 0.5 &&
+        (band <= 0 || f.r.steadyTp >= 0.7 * band)).flatMap(_.r.commitsMs)
+    val tpPoolG8 = tpPoolBand(all8, best8, band8)
+    val tpPoolG32 = tpPoolBand(all32, best32, band32)
+    // Fallback chain, band-aware tiers first; the chosen tier is disclosed
+    // (`commit_pool_source_*`) so a recorded artifact can never headline a
+    // p99 from a below-band pool without saying so.
+    def choosePool(
+        latG: Seq[Double], tpG: Seq[Double], latAll: Seq[Double],
+        tpAll: Seq[Double]): (Seq[Double], String) =
+      if (latG.nonEmpty) (latG, "lat_gated")
+      else if (tpG.nonEmpty) (tpG, "tp_band_gated")
+      else if (latAll.nonEmpty) (latAll, "lat_ungated")
+      else if (tpAll.nonEmpty) (tpAll, "tp_ungated")
+      else (Seq.empty, "empty")
+    val (lat8, poolSrc8) = choosePool(lat8G, tpPoolG8, lat8All, tpPool8)
+    val (lat32, poolSrc32) = choosePool(lat32G, tpPoolG32, lat32All, tpPool32)
+    val poolBandOk8 = poolSrc8 == "lat_gated" || poolSrc8 == "tp_band_gated"
+    val poolBandOk32 = poolSrc32 == "lat_gated" || poolSrc32 == "tp_band_gated"
     // disclosed per-commit batch size of the latency samples, from the
     // ACTUAL source file count (do not assume the writer's partitioning)
     val srcFileCount = math.max(1, Option(new java.io.File(srcDir).listFiles())
@@ -625,8 +655,12 @@ object Bench {
 
     // Roll the healthy band forward (monotone: max steady, min p99 from
     // gated pools with ≥16 samples). Never overwrite a sidecar recorded
-    // under a different config signature.
-    if (band.isDefined || !Files.exists(bandPath)) {
+    // under a different config signature — and never CREATE one from a
+    // non-default run either (ADVICE r4: a scaled run seeding the sidecar
+    // with its own signature silently disabled band gating for every
+    // default run after it).
+    val defaultCfgSig = "8000000x16x4"
+    if (band.isDefined || (!Files.exists(bandPath) && cfgSig == defaultCfgSig)) {
       def rollP99(old: Double, pool: Seq[Double]): Double =
         if (pool.length >= 16) { val p = p99(pool); if (old > 0) math.min(old, p) else p }
         else old
@@ -636,6 +670,13 @@ object Bench {
         rollP99(band.map(_.p99_8).getOrElse(0.0), lat8G),
         rollP99(band.map(_.p99_32).getOrElse(0.0), lat32G)))
     }
+
+    // Self-label an outage capture (VERDICT r4 item 1a): a run that burned
+    // its whole deadline without landing a single weather-matched healthy
+    // pair measured the host, not the engine — the recording harness
+    // should rerun it rather than archive it. Disclosed in the JSON AND
+    // as a marker file next to the bench output.
+    val rerunRecommended = deadlineHit && healthyPairs.isEmpty
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -672,13 +713,26 @@ object Bench {
         f""""band_healthy_local32":${band32 <= 0 || best32.r.steadyTp >= 0.7 * band32},""" +
         f""""commit_gate_exhausted_local8":$gateExhausted8,"commit_gate_exhausted_local32":$gateExhausted32,""" +
         f""""p99_band_retry_local8":$p99Retried8,"p99_band_retry_local32":$p99Retried32,""" +
-        f""""bench_deadline_hit":$deadlineHit}"""
+        f""""commit_pool_source_local8":"$poolSrc8","commit_pool_source_local32":"$poolSrc32",""" +
+        f""""commit_pool_band_ok_local8":$poolBandOk8,"commit_pool_band_ok_local32":$poolBandOk32,""" +
+        f""""bench_deadline_hit":$deadlineHit,"rerun_recommended":$rerunRecommended}"""
     val line =
       s"""{"metric":"validated+watermarked turns/sec end-to-end (local[32]); batch query total sec","value":$totalSec,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}"""
     // The driver parses stdout; a file copy survives any log interleaving.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
+    // distinct rerun marker (<out>.rerun): present exactly when this run
+    // self-labeled an outage; a healthy run removes any stale marker
+    try {
+      val marker = Paths.get(outFile + ".rerun")
+      if (rerunRecommended) {
+        Files.writeString(marker,
+          "bench_deadline_hit with healthy_pairs=0 - outage capture, rerun recommended\n")
+        System.err.println("[bench] RERUN RECOMMENDED: deadline hit with zero healthy pairs")
+      } else Files.deleteIfExists(marker)
+      ()
+    } catch { case _: Throwable => () }
     println(line)
   }
 }

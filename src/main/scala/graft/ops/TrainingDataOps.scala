@@ -198,15 +198,36 @@ object TrainingDataOps {
     * Centroids are the vectors with ids 1..nCentroids (deterministic; a
     * production build would k-means them — the plan shape is identical).
     */
+  /** √n scale default for the IVF cell count: probing cost is roughly
+    * nProbe·(n/nCentroids) exact comparisons plus nCentroids centroid
+    * comparisons — minimized near nCentroids ≈ √n (the standard IVF
+    * operating point). Default nProbe = nCentroids/4 keeps the recall/cost
+    * ratio of the fixture configuration (16 cells / 4 probes).
+    */
+  private[graft] def ivfDefaultCells(n: Long): Int =
+    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Resolve (nCentroids, nProbe): explicit values win (the oracle query
+    * pins 16/4 so its CTE unrolling stays cross-engine-exact); `None`
+    * derives √n cells from ONE count of the table (VERDICT r4 item 4 —
+    * fixture-fixed cell counts don't survive a 100× scale-up).
+    */
+  private def ivfParams(
+      df: DataFrame, nCentroids: Option[Int], nProbe: Option[Int]): (Int, Int) = {
+    val nc = nCentroids.getOrElse(ivfDefaultCells(df.count()))
+    (nc, nProbe.getOrElse(math.max(1, nc / 4)))
+  }
+
   def ivfTopK(
       df: DataFrame, idCol: String, queryId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Option[Int] = None, nProbe: Option[Int] = None): DataFrame = {
     import graft.expressions.ArrayDotFunctions.arrayDot
+    val (nCells, nPr) = ivfParams(df, nCentroids, nProbe)
     val vec = df.select(
       col(idCol).as("vid"),
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(arrayDot(col("e"), col("e"))))
-    val cent = vec.filter(col("vid") >= 1 && col("vid") <= nCentroids)
+    val cent = vec.filter(col("vid") >= 1 && col("vid") <= nCells)
       .select(col("vid").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
     val scored = vec.crossJoin(broadcast(cent))
       .withColumn("score",
@@ -220,7 +241,7 @@ object TrainingDataOps {
       .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
     val qProbe = scored.filter(col("vid") === queryId)
       .orderBy(col("score").desc, col("cid"))
-      .limit(nProbe)
+      .limit(nPr)
       .select(col("cid"))
     val q = vec.filter(col("vid") === queryId)
       .select(col("e").as("qe"), col("nrm").as("qnrm"))
@@ -268,10 +289,11 @@ object TrainingDataOps {
     */
   def ivfKMeansTopK(
       df: DataFrame, idCol: String, queryId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      quant: Int = 10000): DataFrame = {
+      nCentroids: Option[Int] = None, nProbe: Option[Int] = None,
+      iters: Int = 2, quant: Int = 10000): DataFrame = {
     import graft.expressions.ArrayDotFunctions.{arrayDotLong, ivfAssignCell}
     val spark = df.sparkSession
+    val (nCells, nPr) = ivfParams(df, nCentroids, nProbe)
     // one pass computes the quantized vectors; persisted across the Lloyd
     // iterations (at 100 TB this cache — or a checkpoint — is mandatory)
     val vec = df.select(
@@ -319,7 +341,7 @@ object TrainingDataOps {
       val seedRows = vec
         .withColumn("__h", md5(col("vid").cast("string")))
         .orderBy(col("__h"), col("vid"))
-        .limit(nCentroids)
+        .limit(nCells)
         .select(col("vid"), col("qe"))
         .collect()
       var cent: Seq[(Long, Array[Long])] = seedRows
@@ -368,7 +390,7 @@ object TrainingDataOps {
           val c = java.lang.Double.compare(sB, sA) // NaN sorts greatest-first
           c < 0 || (c == 0 && cidA < cidB)
         }
-        .take(nProbe).map(_._1)
+        .take(nPr).map(_._1)
 
       // final: the same assignment aggregate + probe filter + TakeOrdered
       val topk = assigned(cent)

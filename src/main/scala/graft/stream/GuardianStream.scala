@@ -327,8 +327,20 @@ object GuardianStream {
   private def compactSessionsMarker(root: String, upTo: Long): java.nio.file.Path =
     java.nio.file.Paths.get(root, "manifests", f"compact-$upTo%09d.json")
 
-  private def compactSessionsDataDir(root: String, upTo: Long): String =
-    java.nio.file.Paths.get(root, "compact", upTo.toString).toString
+  /** Data dir of a PUBLISHED compacted session table — resolved from the
+    * marker's `path` (attempt-unique per compactor; see IceLite.compact),
+    * legacy `compact/<upTo>` fallback for old markers.
+    */
+  private def compactSessionsDataDir(root: String, upTo: Long): String = {
+    val mp = compactSessionsMarker(root, upTo)
+    val rel =
+      if (IceLite.commitIO.exists(mp))
+        Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(mp)).get("path"))
+          .map(_.asText()).getOrElse(s"compact/$upTo")
+      else s"compact/$upTo"
+    java.nio.file.Paths.get(root, rel).toString
+  }
 
   /** All live session partials: the latest compacted table (if any) plus
     * the residual per-epoch batches — O(compacted) files, not O(epochs).
@@ -371,16 +383,23 @@ object GuardianStream {
     val (latest, residual) = qualitySources(root)
     if (residual.size < 2) return false
     val upTo = residual.max
-    // write first (invisible until the marker publish), then publish
+    if (IceLite.commitIO.exists(compactSessionsMarker(root, upTo))) return false
+    // write first to an ATTEMPT-UNIQUE dir (invisible until the marker
+    // publish; a losing concurrent compactor can never clobber the
+    // winner's published data — ADVICE r4), then race on the marker
+    val attemptRel = s"compact/$upTo-${java.util.UUID.randomUUID().toString.take(8)}"
+    val attemptDir = java.nio.file.Paths.get(root, attemptRel).toString
     mergeSessionIslands(sessionPartialsOf(spark, root, latest, residual))
-      .write.mode("overwrite").parquet(compactSessionsDataDir(root, upTo))
+      .write.mode("overwrite").parquet(attemptDir)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("upto_batch", upTo)
     latest.foreach(node.put("prev_compact", _))
-    node.put("path", s"compact/$upTo")
-    IceLite.commitIO.publishIfAbsent(
+    node.put("path", attemptRel)
+    val won = IceLite.commitIO.publishIfAbsent(
       compactSessionsMarker(root, upTo), mapper.writeValueAsString(node))
+    if (!won) IceLite.rmTree(new java.io.File(attemptDir))
+    won
   }
 
   def readSessionQuality(spark: SparkSession, sinkDir: String): DataFrame = {
@@ -517,20 +536,39 @@ object GuardianStream {
               n.stripPrefix("compact-").stripSuffix(".json").toLong < upTo)
           if (folded) {
             val p = mdir.resolve(n)
-            // data dirs referenced by the folded state go first, so a
-            // crash mid-sweep never leaves a manifest pointing nowhere
+            // Superseded manifests are never on the read path (readers
+            // prefer the latest compacted state), so the delete order
+            // within one entry is immaterial for them; data-first keeps
+            // the sweep idempotent — a crash between the deletes leaves
+            // the manifest, so a re-run finds the entry and re-deletes
+            // the (possibly half-gone) data dir.
             if (alsoData) {
               if (n.startsWith("manifest-")) {
                 val b = n.stripPrefix("manifest-").stripSuffix(".json").toLong
                 rmTree(
                   java.nio.file.Paths.get(root, "data", s"batch=$b").toFile)
               } else {
+                // resolve via the marker's path BEFORE deleting the marker
                 val u = n.stripPrefix("compact-").stripSuffix(".json").toLong
-                rmTree(
-                  java.nio.file.Paths.get(root, "compact", u.toString).toFile)
+                rmTree(new java.io.File(compactSessionsDataDir(root, u)))
               }
             }
             if (java.nio.file.Files.deleteIfExists(p)) removed += 1
+          }
+        }
+        // orphan attempt dirs from losing/crashed compactors (same sweep
+        // rule as IceLite.expireCompacted: anything numbered <= latest
+        // that is not the live published dir)
+        if (alsoData) {
+          val live = java.nio.file.Paths
+            .get(compactSessionsDataDir(root, upTo)).getFileName.toString
+          val cdir = java.nio.file.Paths.get(root, "compact")
+          IceLite.commitIO.listNames(cdir).foreach { d =>
+            val num = d.takeWhile(_.isDigit)
+            if (d != live && num.nonEmpty && num.toLong <= upTo) {
+              rmTree(cdir.resolve(d).toFile)
+              removed += 1
+            }
           }
         }
       }
@@ -753,9 +791,13 @@ object GuardianStream {
       sinkDir: String,
       watermarkDelay: String = "10 minutes",
       maxSkew: String = "2 minutes",
-      availableNow: Boolean = false): StreamingQuery = {
-    def src(dir: String) = spark.readStream.schema(turnSchema).parquet(dir)
-      .withWatermark("ts", watermarkDelay)
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    def src(dir: String) = {
+      var r = spark.readStream.schema(turnSchema)
+      maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+      r.parquet(dir).withWatermark("ts", watermarkDelay)
+    }
     val joined = ProvenanceJoin.join(src(rawDir), src(genDir), maxSkew)
     var writer = joined.writeStream
       .option("checkpointLocation", checkpointDir)

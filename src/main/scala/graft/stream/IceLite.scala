@@ -361,8 +361,27 @@ object IceLite {
   private def compactMarkerPath(root: String, upTo: Long): Path =
     Paths.get(root, "manifests", f"compact-$upTo%09d.json")
 
-  def compactDataDir(root: String, upTo: Long): String =
-    Paths.get(root, "compact", upTo.toString).toString
+  /** Data dir of a PUBLISHED compacted table: resolved from the marker's
+    * `path` field (each compaction attempt writes an attempt-unique dir,
+    * so a losing concurrent compactor can never clobber the winner's
+    * published data — ADVICE r4). Falls back to the legacy `compact/<upTo>`
+    * layout for markers written before the path field existed.
+    */
+  def compactDataDir(root: String, upTo: Long): String = {
+    val mp = compactMarkerPath(root, upTo)
+    val rel =
+      if (commitIO.exists(mp))
+        Option(mapper.readTree(Files.readString(mp)).get("path"))
+          .map(_.asText()).getOrElse(s"compact/$upTo")
+      else s"compact/$upTo"
+    Paths.get(root, rel).toString
+  }
+
+  private[stream] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
 
   /** (latest compacted marker's upto-batch, committed batches after it). */
   def compactSources(root: String): (Option[Long], Seq[Long]) = {
@@ -396,11 +415,20 @@ object IceLite {
     val (latest, residual) = compactSources(root)
     if (residual.size < 2) return false
     val upTo = residual.max
+    // a marker for this upTo already exists ⇒ a concurrent compactor won;
+    // rewriting would be wasted work (and must never touch its data dir)
+    if (commitIO.exists(compactMarkerPath(root, upTo))) return false
+    // ATTEMPT-UNIQUE data dir (ADVICE r4): concurrent compactors each
+    // write their own dir and race only on the marker publish — the loser
+    // deletes its orphan, and readers of the winner's published path are
+    // never exposed to a mid-overwrite dir.
+    val attemptRel = s"compact/$upTo-${java.util.UUID.randomUUID().toString.take(8)}"
+    val attemptDir = Paths.get(root, attemptRel).toString
     val parts =
       latest.map(u => spark.read.parquet(compactDataDir(root, u))).toSeq :+
         readBatches(spark, root, residual)
     val folded = parts.reduce(_.unionByName(_))
-    folded.write.mode("overwrite").parquet(compactDataDir(root, upTo))
+    folded.write.mode("overwrite").parquet(attemptDir)
     val prevRows = latest.map { u =>
       val n = mapper.readTree(Files.readString(compactMarkerPath(root, u)))
       n.get("row_count").asLong()
@@ -408,24 +436,27 @@ object IceLite {
     val node = mapper.createObjectNode()
     node.put("upto_batch", upTo)
     latest.foreach(node.put("prev_compact", _))
+    node.put("path", attemptRel)
     node.put("row_count",
       prevRows + residual.map(b => readManifest(root, b).rowCount).sum)
-    commitIO.publishIfAbsent(
+    val won = commitIO.publishIfAbsent(
       compactMarkerPath(root, upTo), mapper.writeValueAsString(node))
+    if (!won) rmTree(new java.io.File(attemptDir))
+    won
   }
 
   /** Expire state superseded by `compact`: folded epoch data dirs and
-    * manifests, and older compacted tables (data before manifests so a
-    * crash mid-sweep never leaves a marker pointing nowhere). Idempotent.
+    * manifests, older compacted tables, and orphan attempt dirs from
+    * losing/crashed compactors. Superseded manifests are never on the
+    * read path (`compactSources` prefers the latest compacted marker), so
+    * the delete ORDER within one entry is immaterial for readers;
+    * data-first keeps the sweep idempotent — a crash between the two
+    * deletes leaves the manifest in place, so the re-run finds the entry
+    * again and re-deletes the (possibly half-gone) data dir. Idempotent.
     */
   def expireCompacted(root: String): Int = {
     val (latest, _) = compactSources(root)
     var removed = 0
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(); ()
-    }
     latest.foreach { upTo =>
       val mdir = Paths.get(root, "manifests")
       commitIO.listNames(mdir).foreach { n =>
@@ -437,9 +468,24 @@ object IceLite {
           if (Files.deleteIfExists(p)) removed += 1
         } else if (n.startsWith("compact-") && n.endsWith(".json") &&
             n.stripPrefix("compact-").stripSuffix(".json").toLong < upTo) {
+          // resolve the marker's data dir BEFORE deleting the marker (the
+          // path field is only recoverable from it)
           rmTree(new java.io.File(
             compactDataDir(root, n.stripPrefix("compact-").stripSuffix(".json").toLong)))
           if (Files.deleteIfExists(p)) removed += 1
+        }
+      }
+      // orphan attempt dirs: a compactor that crashed before publish (or
+      // lost the race mid-cleanup) leaves compact/<upTo'>-<uuid> with no
+      // marker. Safe to sweep any dir for upTo' <= latest that is not the
+      // live one — an in-flight compactor always targets upTo' > latest.
+      val live = Paths.get(compactDataDir(root, upTo)).getFileName.toString
+      val cdir = Paths.get(root, "compact")
+      commitIO.listNames(cdir).foreach { d =>
+        val num = d.takeWhile(_.isDigit)
+        if (d != live && num.nonEmpty && num.toLong <= upTo) {
+          rmTree(cdir.resolve(d).toFile)
+          removed += 1
         }
       }
     }

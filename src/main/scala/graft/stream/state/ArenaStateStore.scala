@@ -659,17 +659,31 @@ private[state] final class ArenaMap {
     }
   }
 
-  /** Arena-ordered iterator over live entries (reused row objects, the
-    * built-in providers' same validity contract: rows are stable until
-    * the iterator advances past them / the next batch starts).
+  /** Arena-ordered iterator over live entries. DOUBLE-BUFFERED row reuse
+    * (two fixed (key, value, pair) triples, alternating per entry — still
+    * zero allocation per element): `hasNext` pre-scans the next entry, and
+    * Spark's stateful operators legitimately call `hasNext` while still
+    * HOLDING the rows from the last `next()` —
+    * SymmetricHashJoinStateManager.removeByValueCondition checks
+    * `allKeyToNumValues.hasNext` BEFORE writing the held key's updated
+    * numValues back (bytecode-verified, Spark 4.1.2 anon$3: hasMoreKeys at
+    * findNextValueForIndex:105 precedes updateNumValueForCurrentKey:112).
+    * A single reused row repointed inside hasNext made that write target
+    * the NEXT key's bytes, leaving the current key's counter stale and the
+    * join-eviction path reading a (key, index) slot that no longer exists
+    * (NPE in findNextValueForIndex; caught by the arena eviction e2e
+    * test). The de-facto provider contract is therefore: returned rows
+    * stay valid until the FOLLOWING next(), never invalidated by hasNext —
+    * which two alternating buffers give exactly.
     */
   def iterator(keyFields: Int, valueFields: Int): Iterator[UnsafeRowPair] =
     new Iterator[UnsafeRowPair] {
       private val end = top
       private var pos = 0L
-      private val keyRow = new UnsafeRow(keyFields)
-      private val valueRow = new UnsafeRow(valueFields)
-      private val pair = new UnsafeRowPair()
+      private val keyRows = Array(new UnsafeRow(keyFields), new UnsafeRow(keyFields))
+      private val valueRows = Array(new UnsafeRow(valueFields), new UnsafeRow(valueFields))
+      private val pairs = Array(new UnsafeRowPair(), new UnsafeRowPair())
+      private var cur = 0
       private var ready = false
 
       private def advance(): Unit = {
@@ -687,8 +701,8 @@ private[state] final class ArenaMap {
               val vlen = Platform.getInt(c, o + 4)
               val n = 8L + klen + math.max(vlen, 0)
               if (klenRaw >= 0) {
-                keyRow.pointTo(c, o + 8, klen)
-                valueRow.pointTo(c, o + 8 + klen, vlen)
+                keyRows(cur).pointTo(c, o + 8, klen)
+                valueRows(cur).pointTo(c, o + 8 + klen, vlen)
                 ready = true
               }
               pos += n
@@ -702,7 +716,9 @@ private[state] final class ArenaMap {
         advance()
         if (!ready) throw new NoSuchElementException
         ready = false
-        pair.withRows(keyRow, valueRow)
+        val p = pairs(cur).withRows(keyRows(cur), valueRows(cur))
+        cur = 1 - cur
+        p
       }
     }
 

@@ -356,6 +356,79 @@ class ArenaStateStoreSpec extends SparkSpec {
     assert(batchResult.exceptAll(streamed).count() == 0)
   }
 
+  test("provenance join-state EVICTION under a real watermark equals the batch join on in-horizon pairs (arena)") {
+    // VERDICT r4 item 5: the standing-provenance oracle runs with an
+    // effectively unbounded watermark, so the join's state-EVICTION path
+    // was only unit-tested. This is the composed end-to-end shape: a
+    // multi-file ts-ordered replay with a REAL (small) watermark delay,
+    // where a subset of gen rows from the earliest time slice arrives two
+    // files late — by then the watermark has passed them (their raw
+    // partners' join state is evicted and the rows themselves are behind
+    // the pre-join late filter), so the stream must emit exactly the
+    // batch join MINUS the late-delivered pairs.
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 10, seed = 94,
+      stepSeconds = 300, burstLen = 1000)
+    val raw = graft.gen.DeterministicGen.transcripts(spark, spec)
+    val gen = graft.gen.DeterministicGen.generatedTwin(raw, maxSkewSeconds = 60, seed = 94)
+    // three ts-ordered slices (conversation offsets span a day, so slicing
+    // must be by ts, not turn_idx); each side sliced on its OWN ts
+    val qs = raw.withColumn("__uts", unix_timestamp(col("ts")).cast("double"))
+      .stat.approxQuantile("__uts", Array(0.33, 0.67), 0.0).map(_.toLong)
+    def slices(df: DataFrame): Seq[DataFrame] = Seq(
+      df.filter(unix_timestamp(col("ts")) <= qs(0)),
+      df.filter(unix_timestamp(col("ts")) > qs(0) &&
+        unix_timestamp(col("ts")) <= qs(1)),
+      df.filter(unix_timestamp(col("ts")) > qs(1)))
+    val genS = slices(gen)
+    // Late plant: slice-0 gen rows at least 600 s BELOW the slice-0 upper
+    // edge move to the LAST file. The margin matters: watermarks advance
+    // with a one-batch lag and state eviction runs at END of batch, so a
+    // row just under the boundary can legitimately still match (observed:
+    // a raw row AT the boundary survived one extra epoch). 600 s is far
+    // outside delay (120 s) + maxSkew (120 s) + twin skew (60 s), so every
+    // planted pair is provably beyond the eviction horizon.
+    val isLate = col("turn_idx") <= 2 && unix_timestamp(col("ts")) <= qs(0) - 600
+    val lateKeys = genS(0).filter(isLate)
+      .select(col("conv_id"), col("turn_idx")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(lateKeys.nonEmpty, "fixture must plant late rows")
+    val genLate = Seq(
+      genS(0).filter(!isLate), genS(1), genS(2).union(genS(0).filter(isLate)))
+    val rawSrc = tmp("evict-raw"); val genSrc = tmp("evict-gen")
+    writeBatches(rawSrc, slices(raw))
+    writeBatches(genSrc, genLate)
+    val (streamed, removedRows) = withArenaProvider {
+      def fileStream(dir: String) = spark.readStream
+        .schema(GuardianStream.turnSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .withWatermark("ts", "2 minutes")
+      val q = ProvenanceJoin.join(fileStream(rawSrc), fileStream(genSrc), "2 minutes")
+        .writeStream
+        .option("checkpointLocation", tmp("evict-ck"))
+        .outputMode("append")
+        .format("memory").queryName("evict_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsRemoved).sum
+      (spark.table("evict_out"), removed)
+    }
+    assert(removedRows > 0, "watermark advance must actually evict join state")
+    val batchAll = ProvenanceJoin.join(raw, gen, "2 minutes")
+    val lateCond = lateKeys
+      .map(k => col("conv_id") === k._1 && col("turn_idx") === k._2)
+      .reduce(_ || _)
+    val expected = batchAll.filter(!lateCond)
+    assert(batchAll.count() == spec.totalTurns, "every twin matches in batch")
+    assert(streamed.count() == expected.count(),
+      s"late pairs dropped: ${streamed.count()} vs ${expected.count()} (batch ${batchAll.count()})")
+    assert(streamed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(streamed).count() == 0)
+  }
+
   test("fMGWS dedup (the rowDedup=off A/B path) runs on the arena provider") {
     // flatMapGroupsWithState drives the store through the keyed state
     // manager (struct values with an array field + timeout timestamp

@@ -364,6 +364,83 @@ class StreamingSpec extends SparkSpec {
     assert(IceLite.expireCompacted(cfg.sinkDir) == 0, "expiry idempotent")
   }
 
+  test("concurrent compaction races to ONE winner on an attempt-unique dir; readers unaffected") {
+    // ADVICE r4 (medium): compactors used to write the SAME compact/<upTo>
+    // dir before racing on the marker — a losing concurrent compactor
+    // clobbered the winner's already-published data. Now each attempt
+    // writes its own dir and records it in the marker; the loser deletes
+    // its orphan. Raced here for the audit table AND the session partials.
+    val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 18, seed = 49,
+      stepSeconds = 180, burstLen = 6, sessionGapSeconds = 7200, piiPermille = 60)
+    val base = turnsDF(spec)
+    val qs = base.withColumn("__uts", unix_timestamp(col("ts")).cast("double"))
+      .stat.approxQuantile("__uts", Array(0.25, 0.5, 0.75), 0.0).map(_.toLong)
+    val bounds = (None +: qs.map(Some(_)).toSeq) :+ None
+    val slices = bounds.sliding(2).map { case Seq(lo, hi) =>
+      base.filter(
+        lo.map(l => unix_timestamp(col("ts")) > l).getOrElse(lit(true)) &&
+          hi.map(h => unix_timestamp(col("ts")) <= h).getOrElse(lit(true)))
+    }.toSeq
+    val src = tmp("race-src")
+    writeBatches(src, slices)
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("race-ck"), sinkDir = tmp("race-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, sessionGap = Some("30 minutes"))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    def race2(f: () => Boolean): Seq[Boolean] = {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = (1 to 2).map(_ => pool.submit(
+          new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = { latch.await(); f() }
+          }))
+        latch.countDown()
+        futs.map(_.get())
+      } finally { pool.shutdown(); () }
+    }
+    def countDirs(root: String): Int =
+      Option(new java.io.File(root, "compact").listFiles())
+        .getOrElse(Array.empty).count(_.isDirectory)
+
+    // audit table
+    def canonA(): Set[String] =
+      IceLite.read(spark, cfg.sinkDir).collect().map(_.toString).toSet
+    val aBefore = canonA()
+    val aWins = race2(() => IceLite.compact(spark, cfg.sinkDir))
+    assert(aWins.count(identity) == 1, s"exactly one audit winner: $aWins")
+    assert(canonA() == aBefore, "audit read unchanged under racing compactors")
+    assert(countDirs(cfg.sinkDir) == 1, "loser removed its orphan attempt dir")
+
+    // session partials
+    val sRoot = java.nio.file.Paths.get(cfg.sinkDir, "sessions").toString
+    def canonS(): Set[String] = GuardianStream.readSessionQuality(spark, cfg.sinkDir)
+      .select(col("conv_id"), col("session_start"), col("session_end"),
+        col("n_turns"), round(col("len_mean"), 4), col("n_pii"))
+      .collect().map(_.toString).toSet
+    val sBefore = canonS()
+    val sWins = race2(() => GuardianStream.compactSessions(spark, cfg.sinkDir))
+    assert(sWins.count(identity) == 1, s"exactly one session winner: $sWins")
+    assert(canonS() == sBefore, "session read unchanged under racing compactors")
+    assert(countDirs(sRoot) == 1, "loser removed its orphan session dir")
+
+    // quality partials (driver-side JSON fold — identical content either way)
+    def canonQ(): Set[String] = GuardianStream.readQuality(spark, cfg.sinkDir)
+      .collect().map(_.toString).toSet
+    val qBefore = canonQ()
+    val qWins = race2(() => GuardianStream.compactQuality(cfg.sinkDir))
+    assert(qWins.count(identity) == 1, s"exactly one quality winner: $qWins")
+    assert(canonQ() == qBefore, "quality read unchanged under racing compactors")
+
+    // expiry after the races sweeps folded epochs and leaves the winners
+    assert(GuardianStream.expireFolded(cfg.sinkDir) > 0)
+    assert(IceLite.expireCompacted(cfg.sinkDir) > 0)
+    assert(canonA() == aBefore && canonS() == sBefore && canonQ() == qBefore,
+      "all reads unchanged after expiry")
+  }
+
   test("standing drift monitor over quality partials equals the batch drift detector") {
     val spec = TranscriptSpec(nConvs = 6, turnsPerConv = 20, seed = 47,
       stepSeconds = 300, burstLen = 1000, piiPermille = 60)

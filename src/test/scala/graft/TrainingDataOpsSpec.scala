@@ -108,7 +108,7 @@ class TrainingDataOpsSpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     val top = TrainingDataOps.ivfKMeansTopK(
-      df, "vec_id", queryId = 0L, k = 5, nCentroids = 2, nProbe = 1, iters = 2)
+      df, "vec_id", queryId = 0L, k = 5, nCentroids = Some(2), nProbe = Some(1), iters = 2)
       .collect()
     assert(top.length == 5)
     // with 1 probe, all results come from the query's own (A = even) cluster
@@ -116,9 +116,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(top.forall(_.getAs[Double]("cosine") > 0.9))
     // determinism: same input ⇒ identical result
     val again = TrainingDataOps.ivfKMeansTopK(
-      df, "vec_id", queryId = 0L, k = 5, nCentroids = 2, nProbe = 1, iters = 2)
+      df, "vec_id", queryId = 0L, k = 5, nCentroids = Some(2), nProbe = Some(1), iters = 2)
       .collect()
     assert(top.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("IVF cell count derives toward √n when not pinned (two sizes)") {
+    // the documented scale default (VERDICT r4 item 4)
+    assert(TrainingDataOps.ivfDefaultCells(64L) == 8)
+    assert(TrainingDataOps.ivfDefaultCells(256L) == 16)
+    assert(TrainingDataOps.ivfDefaultCells(1L) == 1)
+    // end-to-end with the derived default at two table sizes: the same
+    // code path, different cell counts, still returns a full top-k
+    def table(n: Int) = (0L until n.toLong).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 13 + d * 5) % 17) + 1).toFloat / 18f).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    for (n <- Seq(25, 100)) {
+      val top = TrainingDataOps.ivfTopK(table(n), "vec_id", queryId = 0L, k = 3)
+        .collect()
+      assert(top.length == 3, s"n=$n returns a full top-k on derived cells")
+      assert(top.forall(_.getLong(0) != 0L))
+    }
   }
 
   test("multimodal: frame sampling and feature stubs keep shape and determinism") {
