@@ -121,6 +121,38 @@ class ArenaStateStoreSpec extends SparkSpec {
     p.close()
   }
 
+  test("arena store: rows handed out by next() survive hasNext + store mutation (join manager contract)") {
+    // SymmetricHashJoinStateManager.removeByValueCondition checks
+    // `hasNext` and WRITES through the held key BEFORE consuming the next
+    // element — the de-facto provider contract is that next()'s rows stay
+    // valid until the FOLLOWING next(), never invalidated by hasNext.
+    // The single-buffer iterator violated this (hasNext repointed the
+    // reused rows → numValues written to the wrong key → join-eviction
+    // NPE); pinned here at the provider level, end-to-end by the
+    // provenance-eviction test below.
+    val p = newProvider(tmp("arena-hold"))
+    val s = p.getStore(0, None)
+    (1 to 64).foreach(i => s.put(key(i, i * 3L), value(i * 10L)))
+    val it = s.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+    var checked = 0
+    while (it.hasNext) {
+      val pair = it.next()
+      val k1 = pair.key.getLong(0); val k2 = pair.key.getLong(1)
+      val v = pair.value.getLong(0)
+      it.hasNext // pre-scan of the next entry, manager-style
+      s.put(pair.key, value(v + 1)) // in-place write through the HELD key
+      assert(pair.key.getLong(0) == k1 && pair.key.getLong(1) == k2,
+        "held key repointed by hasNext")
+      assert(s.get(pair.key).getLong(0) == v + 1,
+        "write through the held key landed on the wrong entry")
+      checked += 1
+    }
+    it.close()
+    assert(checked == 64)
+    s.commit()
+    p.close()
+  }
+
   test("arena store: chunk-boundary sweep at 400k keys") {
     // 400k entries x ~48 bytes ≈ 5 chunks: exercises chunk-roll, index
     // growth, eviction-style remove-while-iterating, and exact iteration
