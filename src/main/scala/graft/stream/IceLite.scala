@@ -338,6 +338,46 @@ object IceLite {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Residual epoch batches whose manifest per-partition
+    * (conv_id_min, conv_id_max) ranges can contain `convId` — the
+    * driver-side pruning set for a point audit. Exposed for tests.
+    */
+  private[graft] def convBatches(root: String, convId: String): Seq[Long] = {
+    val (latest, residual) = compactSources(root)
+    residual.filter { b =>
+      readManifest(root, b).partitions
+        .exists(p => p.convIdMin <= convId && convId <= p.convIdMax)
+    }
+  }
+
+  /** Point audit lookup: all audit rows of ONE conversation, planning
+    * only the epochs that can contain it. The north star's promise is
+    * that any output row is traceable by (epoch, partition, conv_id
+    * range) — at deployment horizons the trace query must USE those
+    * manifest stats, not scan the table: residual epoch dirs are pruned
+    * driver-side from their manifests' per-partition conv ranges (zero
+    * Spark jobs for the pruning), and the compacted table (if any) is
+    * included with the conv_id predicate pushed to its parquet
+    * row-group stats. Equals `read(...).filter(conv_id = convId)`
+    * exactly (asserted by StreamingSpec).
+    */
+  def readConv(spark: SparkSession, root: String, convId: String): DataFrame = {
+    val (latest, residual) = compactSources(root)
+    require(latest.nonEmpty || residual.nonEmpty,
+      s"IceLite table at $root has no committed batches")
+    val hits = convBatches(root, convId)
+    val parts =
+      latest.map(u => spark.read.parquet(compactDataDir(root, u))).toSeq ++
+        (if (hits.nonEmpty) Seq(readBatches(spark, root, hits)) else Seq.empty)
+    if (parts.isEmpty)
+      // schema-stable empty result: no epoch can contain the conv — plan
+      // one pruned-to-nothing scan rather than inventing a schema
+      readBatches(spark, root, residual.take(1))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else
+      parts.reduce(_.unionByName(_)).filter(col("conv_id") === convId)
+  }
+
   /** Snapshot read of SPECIFIC committed batch ids (the compaction read
     * path: latest compacted state + residual epochs).
     */

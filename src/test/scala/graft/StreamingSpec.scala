@@ -659,6 +659,40 @@ class StreamingSpec extends SparkSpec {
     assert(m.partitions.forall(p => p.convIdMin <= p.convIdMax))
   }
 
+  test("IceLite point audit lookup prunes epochs by manifest conv ranges") {
+    val root = tmp("icelite-conv")
+    val df = turnsDF(TranscriptSpec(nConvs = 6, turnsPerConv = 5, seed = 27))
+    val lin = new graft.lineage.DataLineage("t")
+    // two epochs with DISJOINT conv populations: the manifests' per-
+    // partition conv ranges separate them, so a point audit must plan
+    // only the epoch that can contain the conversation
+    val lo = df.filter(col("conv_id") <= "conv-000002")
+    val hi = df.filter(col("conv_id") > "conv-000002")
+    assert(IceLite.commit(lo, root, 0L, lin))
+    assert(IceLite.commit(hi, root, 1L, lin))
+    assert(IceLite.convBatches(root, "conv-000001") == Seq(0L),
+      "low conv prunes to epoch 0 only")
+    assert(IceLite.convBatches(root, "conv-000004") == Seq(1L),
+      "high conv prunes to epoch 1 only")
+    assert(IceLite.convBatches(root, "conv-zzz").isEmpty,
+      "out-of-range conv prunes to nothing — zero files planned")
+    def canonFor(conv: String): Set[String] =
+      IceLite.read(spark, root).filter(col("conv_id") === conv)
+        .collect().map(_.toString).toSet
+    for (conv <- Seq("conv-000001", "conv-000004", "conv-zzz")) {
+      val got = IceLite.readConv(spark, root, conv).collect().map(_.toString).toSet
+      assert(got == canonFor(conv), s"readConv($conv) equals full-scan filter")
+    }
+    assert(IceLite.readConv(spark, root, "conv-000001").count() == 5)
+    // after compaction the lookup reads the compacted table (row-group
+    // stats prune inside it) plus any residual epochs — still exact
+    assert(IceLite.compact(spark, root))
+    for (conv <- Seq("conv-000001", "conv-000004", "conv-zzz")) {
+      val got = IceLite.readConv(spark, root, conv).collect().map(_.toString).toSet
+      assert(got == canonFor(conv), s"readConv($conv) exact after compaction")
+    }
+  }
+
   test("stateful dedup runs on the RocksDB state store provider (the 10^12-scale state backend)") {
     val base = turnsDF(TranscriptSpec(nConvs = 6, turnsPerConv = 10, seed = 29))
     val src = tmp("rocks-src")
