@@ -72,6 +72,22 @@ class ExplainSpec extends SparkSpec {
       "the shingle table must come from the persisted relation on both join sides")
   }
 
+  test("readConv: the conv_id predicate pushes into the parquet scan") {
+    assume(available, s"$dir fixtures not present")
+    // minimal audit table: one committed epoch, then the point lookup's
+    // plan must carry the conv filter to the scan (row-group pruning at
+    // scale) on top of the driver-side manifest pruning
+    val root = java.nio.file.Files.createTempDirectory("explain-conv").toString
+    val turns = graft.gen.DeterministicGen.transcripts(
+      spark, graft.gen.DeterministicGen.TranscriptSpec(nConvs = 3, turnsPerConv = 4, seed = 5))
+    graft.stream.IceLite.commit(
+      turns, root, 0L, new graft.lineage.DataLineage("t"))
+    val p = graft.stream.IceLite.readConv(spark, root, "conv-000001")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters") && p.contains("conv_id"),
+      s"conv_id must reach the scan's pushed filters: $p")
+  }
+
   test("dedup_exact: column pruning reaches the scan") {
     val p = plan("dedup_exact")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
