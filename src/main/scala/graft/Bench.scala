@@ -135,9 +135,17 @@ object Bench {
     * batches excluded) — the steady-state rate a standing query sustains,
     * free of one-time JIT/stream-init cost.
     */
+  // Defaults shared between the env-var reads (parent AND BenchOne child)
+  // and the band sidecar's default config signature — one source of
+  // truth, so changing a default can never silently orphan band creation
+  // (ADVICE r4 follow-up).
+  private[graft] val DefaultTurns = 8000000L
+  private[graft] val DefaultTrigFiles = 16
+  private[graft] val DefaultLatTrigFiles = 4
+
   /** Micro-batch size in source files (64 total ⇒ 16 ⇒ 4 data batches). */
   private val trigFiles: Int =
-    sys.env.getOrElse("SPARK_GRAFT_TRIG_FILES", "16").toInt
+    sys.env.getOrElse("SPARK_GRAFT_TRIG_FILES", DefaultTrigFiles.toString).toInt
 
   def streamRun(cpus: Int, sourceDir: String, trig: Int = trigFiles): StreamResult = {
     val spark = session(cpus)
@@ -344,7 +352,8 @@ object Bench {
     // range-partitioned by ts with mtimes in path order (the file source
     // processes oldest mtime first) — random order would (correctly) drop
     // most rows as late past the watermark.
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    val benchTurns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", DefaultTurns.toString).toLong
     val spec = TranscriptSpec(
       nConvs = benchTurns / 40, turnsPerConv = 40,
       hotConvs = 4, hotTurns = 40000,
@@ -426,7 +435,8 @@ object Bench {
     // the whole bench safely inside the driver's budget (3 pairs + an
     // adaptive 4th measured 6:54).
     val pairRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
-    val latTrig = sys.env.getOrElse("SPARK_GRAFT_LAT_TRIG_FILES", "4").toInt
+    val latTrig = sys.env.getOrElse(
+      "SPARK_GRAFT_LAT_TRIG_FILES", DefaultLatTrigFiles.toString).toInt
     val latRuns = sys.env.getOrElse("SPARK_GRAFT_LAT_RUNS", "2").toInt
     val cfgSig = s"${benchTurns}x${trigFiles}x$latTrig"
     val band = loadBand(cfgSig)
@@ -506,7 +516,7 @@ object Bench {
         allowRetry("band retry pair")) {
       bandRetries += 1
       System.err.println(
-        f"[bench] band retry $bandRetries/$bandRetryBudget: " +
+        f"[bench] band retry $bandRetries/${if (pairs.exists(isHealthyPair)) bandRetryBudget else bandRetryMax}: " +
           f"best8=${pairs.map(_._1.r.steadyTp).max}%.0f vs band $band8%.0f, " +
           f"best32=${pairs.map(_._2.r.steadyTp).max}%.0f vs band $band32%.0f")
       pairs = pairs :+ (streamAt(8, pairRounds + 1 + bandRetries), streamAt(32))
@@ -642,16 +652,20 @@ object Bench {
         (band <= 0 || f.r.steadyTp >= 0.7 * band)).flatMap(_.r.commitsMs)
     val tpPoolG8 = tpPoolBand(all8, best8, band8)
     val tpPoolG32 = tpPoolBand(all32, best32, band32)
-    // Fallback chain, band-aware tiers first; the chosen tier is disclosed
-    // (`commit_pool_source_*`) so a recorded artifact can never headline a
-    // p99 from a below-band pool without saying so.
+    // Fallback chain, band-aware tiers first, then the SAME-RUN-healthy
+    // big-batch pool, and only then ungated latency commits: the r4-8
+    // lesson stands — a known-outage latency pool never outranks a
+    // healthy-within-this-run pool of any size (its 12.4 s "p99" measured
+    // the host stall, not the sink). The chosen tier is disclosed
+    // (`commit_pool_source_*`, `commit_pool_band_ok_*`) so a recorded
+    // artifact can never headline a below-band pool without saying so.
     def choosePool(
         latG: Seq[Double], tpG: Seq[Double], latAll: Seq[Double],
         tpAll: Seq[Double]): (Seq[Double], String) =
       if (latG.nonEmpty) (latG, "lat_gated")
       else if (tpG.nonEmpty) (tpG, "tp_band_gated")
+      else if (tpAll.nonEmpty) (tpAll, "tp_same_run")
       else if (latAll.nonEmpty) (latAll, "lat_ungated")
-      else if (tpAll.nonEmpty) (tpAll, "tp_ungated")
       else (Seq.empty, "empty")
     val (lat8, poolSrc8) = choosePool(lat8G, tpPoolG8, lat8All, tpPool8)
     val (lat32, poolSrc32) = choosePool(lat32G, tpPoolG32, lat32All, tpPool32)
@@ -671,7 +685,7 @@ object Bench {
     // non-default run either (ADVICE r4: a scaled run seeding the sidecar
     // with its own signature silently disabled band gating for every
     // default run after it).
-    val defaultCfgSig = "8000000x16x4"
+    val defaultCfgSig = s"${DefaultTurns}x${DefaultTrigFiles}x$DefaultLatTrigFiles"
     if (band.isDefined || (!Files.exists(bandPath) && cfgSig == defaultCfgSig)) {
       def rollP99(old: Double, pool: Seq[Double]): Double =
         if (pool.length >= 16) { val p = p99(pool); if (old > 0) math.min(old, p) else p }
@@ -740,9 +754,10 @@ object Bench {
     try {
       val marker = Paths.get(outFile + ".rerun")
       if (rerunRecommended) {
+        val bound = if (deadlineHit) "deadline" else "retry budget"
         Files.writeString(marker,
-          "bench_deadline_hit with healthy_pairs=0 - outage capture, rerun recommended\n")
-        System.err.println("[bench] RERUN RECOMMENDED: deadline hit with zero healthy pairs")
+          s"healthy_pairs=0 after exhausting the $bound - outage capture, rerun recommended\n")
+        System.err.println(s"[bench] RERUN RECOMMENDED: $bound exhausted with zero healthy pairs")
       } else Files.deleteIfExists(marker)
       ()
     } catch { case _: Throwable => () }
@@ -794,7 +809,8 @@ object BenchOne {
         // −26% steady tp at 32 threads — per-batch fixed cost).
         val warmDir = if (args.length > 3 && args(3).nonEmpty) args(3) else srcDir
         Bench.streamRun(cpus, warmDir)
-        val latTrig = sys.env.getOrElse("SPARK_GRAFT_LAT_TRIG_FILES", "4").toInt
+        val latTrig = sys.env.getOrElse(
+          "SPARK_GRAFT_LAT_TRIG_FILES", Bench.DefaultLatTrigFiles.toString).toInt
         val runs = sys.env.getOrElse("SPARK_GRAFT_LAT_RUNS", "2").toInt
         val all = Seq.fill(runs) {
           System.gc()

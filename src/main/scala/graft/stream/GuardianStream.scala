@@ -328,19 +328,12 @@ object GuardianStream {
     java.nio.file.Paths.get(root, "manifests", f"compact-$upTo%09d.json")
 
   /** Data dir of a PUBLISHED compacted session table — resolved from the
-    * marker's `path` (attempt-unique per compactor; see IceLite.compact),
-    * legacy `compact/<upTo>` fallback for old markers.
+    * marker's `path` (attempt-unique per compactor) through the same
+    * failure-tolerant resolver the audit table uses.
     */
-  private def compactSessionsDataDir(root: String, upTo: Long): String = {
-    val mp = compactSessionsMarker(root, upTo)
-    val rel =
-      if (IceLite.commitIO.exists(mp))
-        Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(mp)).get("path"))
-          .map(_.asText()).getOrElse(s"compact/$upTo")
-      else s"compact/$upTo"
-    java.nio.file.Paths.get(root, rel).toString
-  }
+  private def compactSessionsDataDir(root: String, upTo: Long): String =
+    IceLite.resolveCompactDir(
+      root, compactSessionsMarker(root, upTo), s"compact/$upTo")
 
   /** All live session partials: the latest compacted table (if any) plus
     * the residual per-epoch batches — O(compacted) files, not O(epochs).
@@ -557,15 +550,17 @@ object GuardianStream {
           }
         }
         // orphan attempt dirs from losing/crashed compactors (same sweep
-        // rule as IceLite.expireCompacted: anything numbered <= latest
-        // that is not the live published dir)
+        // rule as IceLite.expireCompacted: numbered <= latest, not the
+        // live published dir, AND stale past the grace window — a slow
+        // in-flight compactor's dir is never deleted under its write)
         if (alsoData) {
           val live = java.nio.file.Paths
             .get(compactSessionsDataDir(root, upTo)).getFileName.toString
           val cdir = java.nio.file.Paths.get(root, "compact")
           IceLite.commitIO.listNames(cdir).foreach { d =>
             val num = d.takeWhile(_.isDigit)
-            if (d != live && num.nonEmpty && num.toLong <= upTo) {
+            if (d != live && num.nonEmpty && num.toLong <= upTo &&
+                IceLite.orphanStale(cdir.resolve(d))) {
               rmTree(cdir.resolve(d).toFile)
               removed += 1
             }

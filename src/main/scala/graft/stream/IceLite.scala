@@ -342,13 +342,19 @@ object IceLite {
     * (conv_id_min, conv_id_max) ranges can contain `convId` — the
     * driver-side pruning set for a point audit. Exposed for tests.
     */
-  private[graft] def convBatches(root: String, convId: String): Seq[Long] = {
-    val (latest, residual) = compactSources(root)
+  private[graft] def convBatches(root: String, convId: String): Seq[Long] =
+    convBatchesOf(root, convId, compactSources(root)._2)
+
+  /** Pruning over an EXPLICIT residual listing: readConv passes the one
+    * snapshot it planned everything else from — re-listing here could see
+    * a compaction published in between and return a torn (empty) view.
+    */
+  private def convBatchesOf(
+      root: String, convId: String, residual: Seq[Long]): Seq[Long] =
     residual.filter { b =>
       readManifest(root, b).partitions
         .exists(p => p.convIdMin <= convId && convId <= p.convIdMax)
     }
-  }
 
   /** Point audit lookup: all audit rows of ONE conversation, planning
     * only the epochs that can contain it. The north star's promise is
@@ -365,7 +371,7 @@ object IceLite {
     val (latest, residual) = compactSources(root)
     require(latest.nonEmpty || residual.nonEmpty,
       s"IceLite table at $root has no committed batches")
-    val hits = convBatches(root, convId)
+    val hits = convBatchesOf(root, convId, residual)
     val parts =
       latest.map(u => spark.read.parquet(compactDataDir(root, u))).toSeq ++
         (if (hits.nonEmpty) Seq(readBatches(spark, root, hits)) else Seq.empty)
@@ -407,21 +413,53 @@ object IceLite {
     * published data — ADVICE r4). Falls back to the legacy `compact/<upTo>`
     * layout for markers written before the path field existed.
     */
-  def compactDataDir(root: String, upTo: Long): String = {
-    val mp = compactMarkerPath(root, upTo)
+  def compactDataDir(root: String, upTo: Long): String =
+    resolveCompactDir(root, compactMarkerPath(root, upTo), s"compact/$upTo")
+
+  /** Resolve a compacted table's data dir from its marker's `path` field
+    * (shared by the audit table and the session-partials table). The read
+    * is failure-tolerant, not just existence-checked: a concurrent expiry
+    * sweep may delete a SUPERSEDED marker between the exists() and the
+    * read — the legacy fallback keeps both the reader (which never reads
+    * superseded markers) and the idempotent sweep well-defined.
+    */
+  private[stream] def resolveCompactDir(
+      root: String, mp: Path, legacyRel: String): String = {
     val rel =
-      if (commitIO.exists(mp))
-        Option(mapper.readTree(Files.readString(mp)).get("path"))
-          .map(_.asText()).getOrElse(s"compact/$upTo")
-      else s"compact/$upTo"
+      try {
+        if (commitIO.exists(mp))
+          Option(mapper.readTree(Files.readString(mp)).get("path"))
+            .map(_.asText()).getOrElse(legacyRel)
+        else legacyRel
+      } catch { case _: java.io.IOException => legacyRel }
     Paths.get(root, rel).toString
   }
 
-  private[stream] def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()
   }
+
+  /** How long an unreferenced attempt dir must sit untouched before the
+    * orphan sweep may remove it — a live parquet write keeps refreshing
+    * its dir as part files land, so only crashed attempts go stale.
+    * Tunable for tests (GRAFT_ORPHAN_GRACE_MS env for deployments).
+    */
+  @volatile private[graft] var orphanGraceMs: Long =
+    sys.env.get("GRAFT_ORPHAN_GRACE_MS").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+
+  private[stream] def orphanStale(p: Path): Boolean =
+    try {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      def newest(f: java.io.File): Long =
+        if (f.isDirectory)
+          (f.lastModified() +:
+            Option(f.listFiles()).getOrElse(Array.empty).map(newest).toSeq).max
+        else f.lastModified()
+      newest(p.toFile) < cutoff
+    } catch { case _: Throwable => false }
 
   /** (latest compacted marker's upto-batch, committed batches after it). */
   def compactSources(root: String): (Option[Long], Seq[Long]) = {
@@ -515,15 +553,19 @@ object IceLite {
           if (Files.deleteIfExists(p)) removed += 1
         }
       }
-      // orphan attempt dirs: a compactor that crashed before publish (or
+      // Orphan attempt dirs: a compactor that crashed before publish (or
       // lost the race mid-cleanup) leaves compact/<upTo'>-<uuid> with no
-      // marker. Safe to sweep any dir for upTo' <= latest that is not the
-      // live one — an in-flight compactor always targets upTo' > latest.
+      // marker. A numeric bound alone is NOT safe: a slow compactor that
+      // computed its target BEFORE a newer compaction published may still
+      // be writing a dir with upTo' <= latest — so only dirs untouched
+      // for a grace window are swept (a live parquet write refreshes its
+      // dir's mtime as files land; a crashed attempt goes stale).
       val live = Paths.get(compactDataDir(root, upTo)).getFileName.toString
       val cdir = Paths.get(root, "compact")
       commitIO.listNames(cdir).foreach { d =>
         val num = d.takeWhile(_.isDigit)
-        if (d != live && num.nonEmpty && num.toLong <= upTo) {
+        if (d != live && num.nonEmpty && num.toLong <= upTo &&
+            orphanStale(cdir.resolve(d))) {
           rmTree(cdir.resolve(d).toFile)
           removed += 1
         }

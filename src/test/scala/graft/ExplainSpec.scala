@@ -73,19 +73,20 @@ class ExplainSpec extends SparkSpec {
   }
 
   test("readConv: the conv_id predicate pushes into the parquet scan") {
-    assume(available, s"$dir fixtures not present")
-    // minimal audit table: one committed epoch, then the point lookup's
-    // plan must carry the conv filter to the scan (row-group pruning at
-    // scale) on top of the driver-side manifest pruning
+    // self-contained fixture (no sf parquet needed): one committed epoch,
+    // then the point lookup's plan must carry the conv filter to the scan
+    // (row-group pruning at scale) on top of the manifest pruning
     val root = java.nio.file.Files.createTempDirectory("explain-conv").toString
-    val turns = graft.gen.DeterministicGen.transcripts(
-      spark, graft.gen.DeterministicGen.TranscriptSpec(nConvs = 3, turnsPerConv = 4, seed = 5))
-    graft.stream.IceLite.commit(
-      turns, root, 0L, new graft.lineage.DataLineage("t"))
-    val p = graft.stream.IceLite.readConv(spark, root, "conv-000001")
-      .queryExecution.executedPlan.toString()
-    assert(p.contains("PushedFilters") && p.contains("conv_id"),
-      s"conv_id must reach the scan's pushed filters: $p")
+    try {
+      val turns = graft.gen.DeterministicGen.transcripts(
+        spark, graft.gen.DeterministicGen.TranscriptSpec(nConvs = 3, turnsPerConv = 4, seed = 5))
+      graft.stream.IceLite.commit(
+        turns, root, 0L, new graft.lineage.DataLineage("t"))
+      val p = graft.stream.IceLite.readConv(spark, root, "conv-000001")
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("PushedFilters") && p.contains("conv_id"),
+        s"conv_id must reach the scan's pushed filters: $p")
+    } finally graft.stream.IceLite.rmTree(new java.io.File(root))
   }
 
   test("dedup_exact: column pruning reaches the scan") {
