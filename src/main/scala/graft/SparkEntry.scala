@@ -366,6 +366,30 @@ object SparkEntry {
           col("text_match"), col("skew_us"))
     }),
 
+    // Point audit trace through the manifest-pruned IceLite lookup: the
+    // fixture-derived turns land in TWO committed epochs split by conv
+    // range, so `readConv`'s driver-side manifest pruning is real (one
+    // epoch planned, one skipped by its conv_id range) and the conv
+    // predicate is pushed into the parquet scan — the north star's "any
+    // output row is traceable" promise exercised as an actual lookup
+    // under the driver's hash gate. The oracle restates fixture + filter.
+    "audit_conv_trace" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get("/dev/shm")
+      val root = (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "graft-audit-trace")
+      else java.nio.file.Files.createTempDirectory("graft-audit-trace")).toString
+      e2eScratch.add(root)
+      val turns = e2eFixture(s, dir).drop("event_id")
+      val lin = new graft.lineage.DataLineage("audit")
+      graft.stream.IceLite.commit(
+        turns.filter(col("conv_id") <= "conv-000007"), s"$root/t", 0L, lin)
+      graft.stream.IceLite.commit(
+        turns.filter(col("conv_id") > "conv-000007"), s"$root/t", 1L, lin)
+      graft.stream.IceLite.readConv(s, s"$root/t", "conv-000007")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts"))
+    }),
+
     // Token counting, BPE-ish: greedy lexical pre-tokenization in the
     // GPT-2/tiktoken style — letter runs, digit runs, and single
     // punctuation marks each become one pre-token (the units a byte-pair
@@ -764,6 +788,27 @@ object SparkEntry {
         |WHERE e.field IS NULL""".stripMargin,
 
     "provenance_match" -> provenanceOracle,
+
+    "audit_conv_trace" ->
+      """WITH base AS (
+        |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+        |    event_id, event_type, ts
+        |  FROM events
+        |), withrole AS (
+        |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+        |                 WHEN turn_idx % 2 = 1 THEN 'user'
+        |                 WHEN event_id % 5 = 0 THEN 'tool'
+        |                 ELSE 'assistant' END AS role
+        |  FROM base
+        |)
+        |SELECT conv_id, turn_idx, role,
+        |  '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+        |    conv_id || ' type ' || event_type ||
+        |    CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text,
+        |  CASE WHEN role = 'tool' THEN 'search' ELSE '' END AS tool,
+        |  ts
+        |FROM withrole WHERE conv_id = 'conv-000007'""".stripMargin,
 
     // the standing form must converge to exactly the batch join — one
     // oracle serves both (round-3 verdict item 4)
