@@ -379,12 +379,16 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory(base, "graft-audit-trace")
       else java.nio.file.Files.createTempDirectory("graft-audit-trace")).toString
       e2eScratch.add(root)
-      val turns = e2eFixture(s, dir).drop("event_id")
+      // persisted across the two epoch commits (each commit evaluates its
+      // slice twice for stats + data); released before the lookup — the
+      // returned frame reads the committed parquet, not this plan
+      val turns = e2eFixture(s, dir).drop("event_id").persist()
       val lin = new graft.lineage.DataLineage("audit")
       graft.stream.IceLite.commit(
         turns.filter(col("conv_id") <= "conv-000007"), s"$root/t", 0L, lin)
       graft.stream.IceLite.commit(
         turns.filter(col("conv_id") > "conv-000007"), s"$root/t", 1L, lin)
+      turns.unpersist()
       graft.stream.IceLite.readConv(s, s"$root/t", "conv-000007")
         .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
           col("tool"), col("ts"))
