@@ -493,6 +493,33 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Near-duplicate CLUSTERS: the verified LSH pairs fed through
+    // connected components (alternating large-star/small-star, O(log n)
+    // rounds at any graph shape) → per-cluster canonical pick. This is
+    // the DECISION stage of corpus dedup: `keep` marks the one document
+    // per duplicate cluster a pipeline retains.
+    "dedup_clusters" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.nearDupClusters(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+    }),
+
+    // Exact per-language token-count quantiles from a count histogram:
+    // per-row work is one map-side-combinable aggregate; the cumulative
+    // scan runs over distinct (lang, n_tokens) pairs only. All-integer
+    // quantile rule (min v with 100·cum ≥ N·total) — bit-exact on both
+    // engines, no interpolation.
+    "quality_token_quantiles" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.tokenCountQuantiles(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+    }),
+
+    // Per-language top-5 tokens (heavy hitters) — vocabulary audit; the
+    // ranking window runs over the vocabulary, not the corpus.
+    "top_tokens_lang" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.topTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), k = 5)
+    }),
+
     // Content fingerprint (polynomial rolling hash of the full text).
     "text_fingerprint" -> ((s, dir) => {
       graft.ops.TrainingDataOps.fingerprint(
@@ -635,6 +662,76 @@ object SparkEntry {
   /** Token-hash list of a document's space-split tokens (DuckDB side). */
   private def duckTokenHashes: String =
     s"list_transform(string_split(text, ' '), t -> ${duckPolyHash("t")})"
+
+  /** DuckDB restatement of the language-ID dispatch as CTEs `lc` + `lang`
+    * (carrying doc_id, text, lang_guess) — shared by the lang-grouped
+    * oracle queries.
+    */
+  private def duckLangCtes: String = {
+    val counts = graft.ops.TrainingDataOps.langLexicons.map { case (l, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS c_$l"
+    }.mkString(",\n   ")
+    s"""lc AS (SELECT doc_id, text, $counts FROM documents),
+       |lang AS (
+       |  SELECT doc_id, text,
+       |    CASE
+       |      WHEN c_de > c_en AND c_de > c_fr AND c_de > c_es THEN 'de'
+       |      WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
+       |      WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+       |      ELSE 'en'
+       |    END AS lang_guess
+       |  FROM lc)""".stripMargin
+  }
+
+  /** The dedup_lsh_verified CTE chain up to verified pairs (id_a, id_b) —
+    * shared verbatim by `dedup_lsh_verified` and `dedup_clusters` so the
+    * clustering oracle clusters EXACTLY the pairs the pair oracle emits.
+    */
+  private def duckVerifiedPairCtes: String = {
+    val sigs = graft.ops.TrainingDataOps.MinhashA
+      .zip(graft.ops.TrainingDataOps.MinhashB).zipWithIndex.map {
+        case ((a, b), j) =>
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007)) AS sig_$j"
+      }.mkString(",\n ")
+    s"""hs AS (
+       |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+       |sig AS (SELECT doc_id, $sigs FROM hs),
+       |buckets AS (
+       |  SELECT doc_id, b.band,
+       |    CASE b.band
+       |      WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR)
+       |      WHEN 1 THEN CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR)
+       |      WHEN 2 THEN CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR)
+       |      ELSE CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR)
+       |    END AS bucket
+       |  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+       |small AS (
+       |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+       |  HAVING count(*) <= 64),
+       |kept AS (
+       |  SELECT buckets.* FROM buckets JOIN small USING (band, bucket)),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 1), i ->
+       |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |    ELSE [] END AS sh
+       |  FROM toks),
+       |vpairs AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM cpairs p
+       |  JOIN shg a ON a.doc_id = p.id_a
+       |  JOIN shg b ON b.doc_id = p.id_b
+       |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(a.sh, b.sh))) END, 5) >= 0.5)""".stripMargin
+  }
 
   /** DuckDB-equivalent SQL per query; identical aliases and rounding. */
   def oracleSql: Map[String, String] = Map(
@@ -1004,6 +1101,60 @@ object SparkEntry {
          |  JOIN sh b ON b.doc_id = p.id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
     },
+
+    // Clusters of the SAME verified pairs the dedup_lsh_verified oracle
+    // emits: transitive closure by recursive min-label walk (exact on the
+    // fixture scale; the engine side runs large-star/small-star instead —
+    // same fixpoint, O(log n) rounds).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckVerifiedPairCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+         |lbl AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |siz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+         |  l.doc_id = l.cluster_id AS keep
+         |FROM lbl l JOIN siz s USING (cluster_id)""".stripMargin,
+
+    "quality_token_quantiles" ->
+      s"""WITH $duckLangCtes,
+         |hist AS (
+         |  SELECT lang_guess,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |    count(*) AS cnt
+         |  FROM lang GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang_guess, n_tokens,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang_guess ORDER BY n_tokens) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang_guess) AS BIGINT) AS total
+         |  FROM hist)
+         |SELECT lang_guess, max(total) AS n_docs,
+         |  min(CASE WHEN cum * 100 >= total * 50 THEN n_tokens END) AS p50_tokens,
+         |  min(CASE WHEN cum * 100 >= total * 90 THEN n_tokens END) AS p90_tokens,
+         |  min(CASE WHEN cum * 100 >= total * 99 THEN n_tokens END) AS p99_tokens
+         |FROM cum GROUP BY lang_guess""".stripMargin,
+
+    "top_tokens_lang" ->
+      s"""WITH $duckLangCtes,
+         |tok AS (
+         |  SELECT lang_guess, unnest(string_split(text, ' ')) AS token FROM lang),
+         |cnt AS (
+         |  SELECT lang_guess, token, count(*) AS cnt FROM tok
+         |  WHERE token <> '' GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT lang_guess, token, cnt,
+         |    row_number() OVER (PARTITION BY lang_guess ORDER BY cnt DESC, token) AS rnk
+         |  FROM cnt)
+         |SELECT lang_guess, CAST(rnk AS BIGINT) AS rnk, token, cnt
+         |FROM rk WHERE rnk <= 5""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

@@ -418,6 +418,164 @@ object TrainingDataOps {
     }
   }
 
+  /** Connected components over an undirected pair graph — the clustering
+    * stage that turns verified near-duplicate PAIRS into duplicate
+    * CLUSTERS (one canonical document kept per cluster). Alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): converges in O(log n) rounds on ANY
+    * graph shape — unlike naive min-label propagation, whose round count
+    * is the component DIAMETER (an adversarial near-dup chain
+    * a~b~c~…~z makes that O(n)). Each round is two groupBy shuffles +
+    * a distinct; no cross join, no driver-side graph.
+    *
+    * Returns (node, label): every node of `pairs` mapped to its
+    * component's minimum id. Equality of successive edge sets is checked
+    * EXACTLY (count + left-anti), not by checksum, so a converged result
+    * is a converged result.
+    *
+    * CACHE CONTRACT (same as ngramJaccardCached): the result references
+    * the persisted converged edge set; Bench/Verify clear caches between
+    * queries, or use `connectedComponentsCached` and unpersist the handle.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsCached(pairs, maxIter)._1
+
+  def connectedComponentsCached(
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+
+    // Large-star: every node u links its HIGHER neighbors to the minimum
+    // of its closed neighborhood. Input interpreted undirected (both
+    // orientations fed to the groupBy); output oriented child > parent.
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+        .groupBy(col("a")).agg(collect_set(col("b")).as("nbrs"))
+        .select(col("a"), least(array_min(col("nbrs")), col("a")).as("m"),
+          col("nbrs"))
+        .select(explode(expr("filter(nbrs, x -> x > a)")).as("u"), col("m").as("v"))
+
+    // Small-star: every node u (edges already oriented u > v, so all
+    // neighbors here are LOWER) links itself and its non-minimum
+    // neighbors to its minimum neighbor. Output stays child > parent:
+    // m = min(nbrs) < every other neighbor and < u.
+    def smallStar(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
+        .select(col("u"), array_min(col("nbrs")).as("m"), col("nbrs"))
+        .select(explode(expr("array_union(filter(nbrs, x -> x != m), array(u))")).as("u"),
+          col("m").as("v"))
+
+    var cur = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curN = cur.count()
+    var converged = curN == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextN = next.count()
+      // exact set equality: same cardinality and nothing new in `next`
+      // (both sides are distinct sets oriented u > v)
+      if (nextN == curN &&
+          next.join(cur, Seq("u", "v"), "left_anti").isEmpty) {
+        next.unpersist()
+        converged = true
+      } else {
+        cur.unpersist()
+        cur = next
+        curN = nextN
+        it += 1
+      }
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged star forest: every child points at its component minimum
+    val labels = cur.select(col("u").as("node"), col("v").as("label"))
+      .union(cur.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
+    (labels, cur)
+  }
+
+  /** The full near-duplicate CLUSTERING pipeline: MinHash → LSH band
+    * buckets → n-gram-Jaccard verify → connected components → per-cluster
+    * canonical pick (minimum doc id). This is the decision stage of
+    * corpus dedup: `keep` marks the one document per cluster a pipeline
+    * retains. Only documents that belong to some verified cluster appear
+    * (singletons are trivially kept and would dominate the output).
+    */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String, textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol)
+    val verified = ngramJaccard(docs, pairs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(verified)
+    // cluster cardinalities: one row per cluster — orders of magnitude
+    // smaller than the corpus; AQE picks the join strategy
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(
+        col("node").as(idCol),
+        col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("label")).as("keep"))
+  }
+
+  /** Exact distributed quantiles of the per-document token count, grouped
+    * by detected language — the "what does this corpus look like"
+    * quality-distribution scan. Scale shape: the ONLY per-row work is the
+    * (lang, n_tokens) count aggregate (map-side combinable); the
+    * cumulative scan and quantile extraction run over the DISTINCT
+    * (language, token-count) pairs — bounded by max document length,
+    * never by corpus size. All-integer arithmetic end to end
+    * (pN = min value whose cumulative count × 100 ≥ N × total), so the
+    * oracle matches bit-exactly — no interpolation, no float quantile.
+    */
+  def tokenCountQuantiles(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = langId(docs, textCol)
+      .withColumn("n_tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    val hist = base.groupBy(col("lang_guess"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("lang_guess").orderBy("n_tokens")
+    val whole = Window.partitionBy("lang_guess")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("total", sum(col("cnt")).over(whole))
+      .groupBy(col("lang_guess"))
+      .agg(
+        max(col("total")).as("n_docs"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("n_tokens"))).as("p50_tokens"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("n_tokens"))).as("p90_tokens"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("n_tokens"))).as("p99_tokens"))
+  }
+
+  /** Per-language top-k tokens (heavy hitters) — corpus vocabulary audit.
+    * Scale shape: the row-level explode feeds ONE map-side-combinable
+    * (lang, token) count; the ranking window runs over distinct tokens
+    * only (vocabulary-sized, not corpus-sized). Ties broken by token text
+    * so the prefix is deterministic on both engines (ASCII corpus ⇒
+    * UTF8-binary and DuckDB binary collation agree).
+    */
+  def topTokens(docs: DataFrame, textCol: String = "text", k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = langId(docs, textCol)
+      .select(col("lang_guess"), explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang_guess"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang_guess").orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang_guess"), col("rnk"), col("token"), col("cnt"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first `nBits` coordinate signs) — the LSH scale
     * path: candidates only within a bucket, never an O(n^2) cross join.

@@ -163,4 +163,83 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(resized.select(col("meta.width")).distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(64))
   }
+
+  test("connected components: a long chain (the adversarial case for label propagation) converges to the minimum root") {
+    // a 64-node path has diameter 63 — naive min-label propagation needs
+    // 63 rounds; large-star/small-star must finish inside the 25-round cap
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = TrainingDataOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to 64L).toSet, "every node of the graph is labeled")
+    assert(labels.values.forall(_ == 1L), "one component rooted at the minimum id")
+    spark.catalog.clearCache()
+  }
+
+  test("connected components: empty pair set yields an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TrainingDataOps.connectedComponents(empty).isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("connected components match a union-find ground truth on seeded random graphs") {
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comp = (0 until n).groupBy(find).iterator
+        .flatMap { case (_, ms) => val m = ms.min.toLong; ms.map(_ -> m) }.toMap
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map(x => x -> comp(x.toInt)).toMap
+      val labels = TrainingDataOps.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == expected, s"trial $trial: $labels vs $expected")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("near-dup clusters: the planted dup family collapses to one canonical keep") {
+    val out = TrainingDataOps.nearDupClusters(base, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 6L), s"exactly the planted near/exact dups cluster: $out")
+    assert(out.values.map(_._1).toSet == Set(0L), "cluster id is the minimum doc id")
+    assert(out.values.map(_._2).toSet == Set(3L), "cluster size counts all members")
+    assert(out.filter(_._2._3).keySet == Set(0L), "only the canonical doc is kept")
+    spark.catalog.clearCache()
+  }
+
+  test("token-count quantiles: integer histogram rule, hand-checked per language") {
+    // tokens chosen OUTSIDE every language lexicon ('y' is Spanish, 'a'
+    // and 'is' are English — single letters are not safe fillers here)
+    val docs = Seq(
+      (1L, "t1 t2 t3"), (2L, "t1 t2 t3 t4"), (3L, "t1 t2 t3 t4 t5"),
+      (4L, "t1 t2"), (5L, "t1 t2 t3 t4 t5 t6 t7"),
+      (6L, "der hund und das ist nicht ein gut für die katze heute"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.tokenCountQuantiles(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en token counts {2,3,4,5,7}: p50 = first cum*100 >= 50*5 -> 4;
+    // p90/p99 -> 7 (cum must reach 4.5/4.95 of 5)
+    assert(out("en") == ((5L, 4L, 7L, 7L)), s"en quantiles: ${out("en")}")
+    assert(out("de") == ((1L, 12L, 12L, 12L)), s"de singleton: ${out("de")}")
+  }
+
+  test("top tokens: count-desc then token-asc gives a deterministic prefix") {
+    val docs = Seq(
+      (1L, "xx xx xx yy yy zz"), (2L, "yy zz ww ww"), (3L, "qq qq qq qq"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.topTokens(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("en", 1L, "qq", 4L), ("en", 2L, "xx", 3L), ("en", 3L, "yy", 3L)),
+      s"got ${out.toSeq}")
+  }
 }
