@@ -428,20 +428,35 @@ object TrainingDataOps {
     * a~b~c~…~z makes that O(n)). Each round is two groupBy shuffles +
     * a distinct; no cross join, no driver-side graph.
     *
+    * TWO-PHASE at scale (the standard production shape): distributed
+    * star-contraction rounds run only while the edge set exceeds
+    * `localFinishEdges`; once it fits under that bound the components are
+    * finished by a driver-side union-find over the contracted edges — a
+    * BOUNDED collect (default 2^20 edges = 16 MB of longs, the same order
+    * as a broadcast-join side), never the corpus. Star contraction
+    * preserves the node set and the components (every node re-emits
+    * itself or its minimum each round), so the local finish labels
+    * exactly the original components. Graphs that never shrink under the
+    * bound stay fully distributed until the fixpoint; `localFinishEdges
+    * = 0` forces the all-distributed path (used by the specs).
+    *
     * Returns (node, label): every node of `pairs` mapped to its
     * component's minimum id. Equality of successive edge sets is checked
-    * EXACTLY (count + left-anti), not by checksum, so a converged result
-    * is a converged result.
+    * EXACTLY, not by checksum — one job per round computes |next| and
+    * |next \ cur| together (both sides distinct, oriented u > v), so a
+    * converged result is a converged result.
     *
     * CACHE CONTRACT (same as ngramJaccardCached): the result references
     * the persisted converged edge set; Bench/Verify clear caches between
     * queries, or use `connectedComponentsCached` and unpersist the handle.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    connectedComponentsCached(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      localFinishEdges: Long = 1L << 20): DataFrame =
+    connectedComponentsCached(pairs, maxIter, localFinishEdges)._1
 
   def connectedComponentsCached(
-      pairs: DataFrame, maxIter: Int = 25): (DataFrame, DataFrame) = {
+      pairs: DataFrame, maxIter: Int = 25,
+      localFinishEdges: Long = 1L << 20): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
 
     // Large-star: every node u links its HIGHER neighbors to the minimum
@@ -474,14 +489,19 @@ object TrainingDataOps {
     var curN = cur.count()
     var converged = curN == 0L
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && curN > localFinishEdges && it < maxIter) {
       val next = smallStar(largeStar(cur)).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextN = next.count()
-      // exact set equality: same cardinality and nothing new in `next`
-      // (both sides are distinct sets oriented u > v)
-      if (nextN == curN &&
-          next.join(cur, Seq("u", "v"), "left_anti").isEmpty) {
+      // exact set equality in ONE job: |next| and |next \ cur| from a
+      // left-outer join against the current set (both sides are distinct
+      // and oriented u > v, so same count + nothing fresh ⇔ same set)
+      val eq = next
+        .join(cur.withColumn("_seen", lit(1)), Seq("u", "v"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("_seen").isNull, lit(1))).as("fresh"))
+        .head()
+      val (nextN, fresh) = (eq.getLong(0), eq.getLong(1))
+      if (nextN == curN && fresh == 0L) {
         next.unpersist()
         converged = true
       } else {
@@ -491,7 +511,35 @@ object TrainingDataOps {
         it += 1
       }
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    if (!converged && curN > 0L) {
+      require(curN <= localFinishEdges,
+        s"connectedComponents did not converge in $maxIter rounds")
+      // Local finish: the (contracted) edge set fits the documented bound
+      // — union-find with path halving, min root wins, then one labeled
+      // row per node. Same fixpoint as the distributed rounds.
+      val edges = cur.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      val sp = cur.sparkSession
+      import sp.implicits._
+      val labels = nodes.iterator.map(n => (n, find(n))).toSeq
+        .toDF("node", "label")
+      return (labels, cur)
+    }
     // converged star forest: every child points at its component minimum
     val labels = cur.select(col("u").as("node"), col("v").as("label"))
       .union(cur.select(col("v").as("node"), col("v").as("label")))

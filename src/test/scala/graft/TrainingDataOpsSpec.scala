@@ -166,9 +166,12 @@ class TrainingDataOpsSpec extends SparkSpec {
 
   test("connected components: a long chain (the adversarial case for label propagation) converges to the minimum root") {
     // a 64-node path has diameter 63 — naive min-label propagation needs
-    // 63 rounds; large-star/small-star must finish inside the 25-round cap
+    // 63 rounds; large-star/small-star must finish inside the 25-round cap.
+    // localFinishEdges = 0 forces the all-distributed path (the thing
+    // under test here).
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = TrainingDataOps.connectedComponents(pairs).collect()
+    val labels = TrainingDataOps
+      .connectedComponents(pairs, localFinishEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet == (1L to 64L).toSet, "every node of the graph is labeled")
     assert(labels.values.forall(_ == 1L), "one component rooted at the minimum id")
@@ -197,11 +200,36 @@ class TrainingDataOpsSpec extends SparkSpec {
         .flatMap { case (_, ms) => val m = ms.min.toLong; ms.map(_ -> m) }.toMap
       val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
       val expected = nodes.map(x => x -> comp(x.toInt)).toMap
-      val labels = TrainingDataOps.connectedComponents(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(labels == expected, s"trial $trial: $labels vs $expected")
-      spark.catalog.clearCache()
+      // both phases must agree with the ground truth: the all-distributed
+      // star-contraction path AND the bounded local union-find finish
+      for (thresholdEdges <- Seq(0L, 1L << 20)) {
+        val labels = TrainingDataOps
+          .connectedComponents(edges.toDF("id_a", "id_b"),
+            localFinishEdges = thresholdEdges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(labels == expected,
+          s"trial $trial threshold $thresholdEdges: $labels vs $expected")
+        spark.catalog.clearCache()
+      }
     }
+  }
+
+  test("connected components: hybrid path — distributed contraction shrinks cliques under the local bound, local finish completes them") {
+    // 3 disjoint 12-cliques = 198 edges > threshold 50; one star round
+    // contracts each clique toward its star (~11 edges each), dropping
+    // under the bound so the local union-find finishes the job
+    val pairs = (0 until 3).flatMap { c =>
+      val ids = (0 until 12).map(i => (c * 100 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toDF("id_a", "id_b")
+    val labels = TrainingDataOps
+      .connectedComponents(pairs, localFinishEdges = 50L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 36, "all 36 clique members labeled")
+    assert((0 until 3).forall { c =>
+      (0 until 12).forall(i => labels((c * 100 + i).toLong) == c * 100L)
+    }, s"each clique rooted at its minimum id: $labels")
+    spark.catalog.clearCache()
   }
 
   test("near-dup clusters: the planted dup family collapses to one canonical keep") {
