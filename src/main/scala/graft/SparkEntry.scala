@@ -520,6 +520,33 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")), k = 5)
     }),
 
+    // Deterministic stratified hash-rate sampling (shuffle-free): doc
+    // survives iff polyhash(salt ++ doc_id) mod 1000 < rate(lang). Rates
+    // model a low-resource upsample: en 200‰, zh 300‰, others 600‰.
+    "sample_stratified" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        rates = Map("en" -> 200, "zh" -> 300), defaultPermille = 600)
+    }),
+
+    // Per-source document cap (domain cap): at most 22 docs per source,
+    // priority by ascending doc_id.
+    "source_cap" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.sourceCap(
+        t(s, dir, "documents").select(col("doc_id"), col("source")), k = 22)
+    }),
+
+    // The composite corpus curation decision: dedup → language → token
+    // quality band → per-source cap, with per-stage verdicts + the first
+    // failing stage as the drop reason.
+    "corpus_retain" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.corpusRetain(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source")),
+        keepLangs = Seq("en", "de", "fr", "es"),
+        minTokens = 15, maxTokens = 90, capPerSource = 18)
+    }),
+
     // Content fingerprint (polynomial rolling hash of the full text).
     "text_fingerprint" -> ((s, dir) => {
       graft.ops.TrainingDataOps.fingerprint(
@@ -732,6 +759,25 @@ object SparkEntry {
        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |         / len(list_distinct(list_concat(a.sh, b.sh))) END, 5) >= 0.5)""".stripMargin
   }
+
+  /** Verified pairs extended to per-node cluster labels (CTE `lbl` with
+    * node, cluster_id): transitive closure by recursive min-label walk —
+    * exact on the fixture scale; the engine side runs alternating
+    * large-star/small-star + bounded local union-find instead (same
+    * fixpoint). Shared by `dedup_clusters` and `corpus_retain`.
+    */
+  private def duckClusterCtes: String =
+    s"""$duckVerifiedPairCtes,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM vpairs
+       |  UNION SELECT id_b, id_a FROM vpairs),
+       |walk(node, reach) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+       |lbl AS (
+       |  SELECT node, min(reach) AS cluster_id
+       |  FROM walk GROUP BY node)""".stripMargin
 
   /** DuckDB-equivalent SQL per query; identical aliases and rounding. */
   def oracleSql: Map[String, String] = Map(
@@ -1107,22 +1153,55 @@ object SparkEntry {
     // fixture scale; the engine side runs large-star/small-star instead —
     // same fixpoint, O(log n) rounds).
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $duckVerifiedPairCtes,
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM vpairs
-         |  UNION SELECT id_b, id_a FROM vpairs),
-         |walk(node, reach) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
-         |lbl AS (
-         |  SELECT node AS doc_id, min(reach) AS cluster_id
-         |  FROM walk GROUP BY node),
+      s"""WITH RECURSIVE $duckClusterCtes,
          |siz AS (
          |  SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
-         |SELECT l.doc_id, l.cluster_id, s.cluster_size,
-         |  l.doc_id = l.cluster_id AS keep
+         |SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+         |  l.node = l.cluster_id AS keep
          |FROM lbl l JOIN siz s USING (cluster_id)""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, lang, 'smp' || CAST(doc_id AS VARCHAR) AS sk
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, lang, ${duckPolyHash("sk")} % 1000 AS bucket FROM k)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 300
+         |  ELSE 600 END""".stripMargin,
+
+    "source_cap" ->
+      """WITH rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM rk
+        |WHERE rn <= 22""".stripMargin,
+
+    "corpus_retain" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |dup AS (
+         |  SELECT node AS doc_id, node = cluster_id AS dup_keep FROM lbl),
+         |staged AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    coalesce(p.dup_keep, TRUE) AS dup_ok,
+         |    d.lang IN ('en', 'de', 'fr', 'es') AS lang_ok,
+         |    len(string_split_regex(trim(d.text), '\\s+')) BETWEEN 15 AND 90
+         |      AS quality_ok
+         |  FROM documents d LEFT JOIN dup p USING (doc_id)),
+         |cum AS (
+         |  SELECT *, sum(CASE WHEN dup_ok AND lang_ok AND quality_ok
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM staged)
+         |SELECT doc_id, lang, source, dup_ok, lang_ok, quality_ok,
+         |  (dup_ok AND lang_ok AND quality_ok AND cum <= 18) AS retain,
+         |  CASE WHEN NOT dup_ok THEN 'dup'
+         |    WHEN NOT lang_ok THEN 'lang'
+         |    WHEN NOT quality_ok THEN 'quality'
+         |    WHEN cum > 18 THEN 'source_cap'
+         |    ELSE 'retained' END AS reason
+         |FROM cum""".stripMargin,
 
     "quality_token_quantiles" ->
       s"""WITH $duckLangCtes,

@@ -624,6 +624,86 @@ object TrainingDataOps {
       .select(col("lang_guess"), col("rnk"), col("token"), col("cnt"))
   }
 
+  /** Deterministic stratified hash-rate sampling — the shuffle-FREE
+    * corpus sampling primitive: a document survives iff
+    * polyhash(salt ++ doc_id) mod 1000 < rate_permille(stratum). Pure
+    * scan + filter (no shuffle, no sort, no state), so it runs at scan
+    * speed on 100 TB and composes with partition pruning; the same
+    * (salt, rates) always selects the same documents, which is what an
+    * eval-set split or a low-resource-language upsample needs. Per-row
+    * work is one codegen PolyHash.
+    */
+  def stratifiedSample(
+      docs: DataFrame, rates: Map[String, Int], defaultPermille: Int,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      salt: String = "smp"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.polyHash
+    val bucket = polyHash(concat(lit(salt), col(idCol).cast("string"))) % lit(1000L)
+    // rates.toSeq.sortBy keeps the when-chain order deterministic (Map
+    // iteration order must not change the plan)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col(idCol), col(strataCol), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Per-source document cap: keep at most `k` documents per source,
+    * priority by ascending id (deterministic). The classic web-corpus
+    * domain cap. Scale shape: one shuffle on the source key + a
+    * per-source sort that the rank filter truncates at k; source
+    * cardinality is domain-sized (large), so partitions stay balanced —
+    * an adversarial mega-domain is pre-prunable with a hash-sample
+    * threshold stage before the window, not needed at fixture scale.
+    */
+  def sourceCap(
+      docs: DataFrame, k: Int, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** The composite corpus CURATION decision — the query a pipeline runs
+    * last: every document gets a per-stage verdict (near-dup keep,
+    * language retention, token-count quality band, per-source cap) plus
+    * the final `retain` and the FIRST failing stage as `reason`. Stage
+    * order is the conventional one: dedup → language → quality → cap,
+    * with the cap counting only documents that passed the first three
+    * gates (cumulative-sum rank, so no second window pass). Scale shape:
+    * the near-dup stage is the sub-quadratic LSH pipeline; everything
+    * else is one projection + one source-keyed window.
+    */
+  def corpusRetain(
+      docs: DataFrame, keepLangs: Seq[String], minTokens: Int,
+      maxTokens: Int, capPerSource: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = nearDupClusters(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("keep").as("dup_keep"))
+    val staged = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("dup_keep"), lit(true)).as("dup_ok"),
+        col("lang").isin(keepLangs: _*).as("lang_ok"),
+        col("n_tokens").between(minTokens, maxTokens).as("quality_ok"))
+    val pass3 = col("dup_ok") && col("lang_ok") && col("quality_ok")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    staged
+      .withColumn("cum", sum(when(pass3, 1L).otherwise(0L)).over(w))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("dup_ok"), col("lang_ok"), col("quality_ok"),
+        (pass3 && col("cum") <= capPerSource).as("retain"),
+        when(!col("dup_ok"), "dup")
+          .when(!col("lang_ok"), "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("cum") > capPerSource, "source_cap")
+          .otherwise("retained").as("reason"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first `nBits` coordinate signs) — the LSH scale
     * path: candidates only within a bucket, never an O(n^2) cross join.

@@ -242,6 +242,68 @@ class TrainingDataOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stratified hash sampling: deterministic, rate-respecting, salt-sensitive") {
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 100)
+    val s1 = TrainingDataOps.stratifiedSample(docs, rates, defaultPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s2 = TrainingDataOps.stratifiedSample(docs, rates, defaultPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.sorted.sameElements(s2.sorted), "same salt+rates => same sample")
+    assert(s1.forall { case (_, l, b) => b < (if (l == "en") 100 else 500) },
+      "every surviving bucket is under its stratum's rate")
+    // a 100‰/500‰ split over 200 docs each: en strictly fewer than de
+    val byLang = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("en", 0) < byLang("de"),
+      s"rates order the strata sizes: $byLang")
+    val s3 = TrainingDataOps
+      .stratifiedSample(docs, rates, defaultPermille = 500, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!s3.sorted.sameElements(s1.sorted), "a different salt reselects")
+  }
+
+  test("source cap keeps the k lowest ids per source") {
+    val docs = Seq(
+      (5L, "a"), (1L, "a"), (3L, "a"), (2L, "b"), (9L, "b"))
+      .toDF("doc_id", "source")
+    val out = TrainingDataOps.sourceCap(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 1L), (3L, "a", 2L), (2L, "b", 1L), (9L, "b", 2L)),
+      s"got $out")
+  }
+
+  test("corpus retain: each stage drops its planted doc with the right reason") {
+    // base near-dup fixture docs 0/1/6 cluster (keep = 0); add a zh doc,
+    // a too-short doc, and enough passing docs on one source to trip a
+    // cap of 2. Every text is >= minTokens=3 tokens unless planted short.
+    // The s2 texts must be pairwise DISSIMILAR (no shared shingles) or
+    // the near-dup stage clusters them before the cap can fire.
+    val docs = Seq(
+      (0L, base.where(col("doc_id") === 0).select("text").head.getString(0), "en", "s1"),
+      (1L, base.where(col("doc_id") === 1).select("text").head.getString(0), "en", "s1"),
+      (6L, base.where(col("doc_id") === 6).select("text").head.getString(0), "en", "s1"),
+      (10L, "alpha beta gamma delta epsilon one", "zh", "s2"),
+      (11L, "tiny", "en", "s2"),
+      (12L, "crimson harbors echo beneath winter lanterns", "en", "s2"),
+      (13L, "quartz meridian folds upward across silent dunes", "en", "s2"),
+      (14L, "velvet engines hum inside forgotten orchards", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainingDataOps.corpusRetain(docs,
+      keepLangs = Seq("en"), minTokens = 3, maxTokens = 50, capPerSource = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(6), r.getString(7)))).toMap
+    assert(out(0L) == ((true, "retained")), s"canonical dup kept: $out")
+    assert(out(1L) == ((false, "dup")) && out(6L) == ((false, "dup")),
+      s"non-canonical cluster members dropped as dup: $out")
+    assert(out(10L) == ((false, "lang")), s"zh doc dropped at the lang gate: $out")
+    assert(out(11L) == ((false, "quality")), s"short doc dropped at quality: $out")
+    assert(out(12L) == ((true, "retained")) && out(13L) == ((true, "retained")),
+      s"first two passing docs of s2 retained: $out")
+    assert(out(14L) == ((false, "source_cap")),
+      s"third passing doc of s2 dropped by the cap: $out")
+    spark.catalog.clearCache()
+  }
+
   test("token-count quantiles: integer histogram rule, hand-checked per language") {
     // tokens chosen OUTSIDE every language lexicon ('y' is Spanish, 'a'
     // and 'is' are English — single letters are not safe fillers here)
