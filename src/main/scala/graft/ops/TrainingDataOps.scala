@@ -675,12 +675,18 @@ object TrainingDataOps {
     * gates (cumulative-sum rank, so no second window pass). Scale shape:
     * the near-dup stage is the sub-quadratic LSH pipeline; everything
     * else is one projection + one source-keyed window.
+    *
+    * `dupKeep` optionally supplies an already-computed `nearDupClusters`
+    * verdict (columns doc_id, keep) so a pipeline that ALSO materializes
+    * the cluster table — the normal case — pays the LSH pass once.
     */
   def corpusRetain(
       docs: DataFrame, keepLangs: Seq[String], minTokens: Int,
-      maxTokens: Int, capPerSource: Int): DataFrame = {
+      maxTokens: Int, capPerSource: Int,
+      dupKeep: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dup = nearDupClusters(docs.select(col("doc_id"), col("text")), "doc_id")
+    val dup = dupKeep
+      .getOrElse(nearDupClusters(docs.select(col("doc_id"), col("text")), "doc_id"))
       .select(col("doc_id"), col("keep").as("dup_keep"))
     val staged = docs
       .select(col("doc_id"), col("lang"), col("source"),
