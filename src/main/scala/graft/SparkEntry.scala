@@ -570,6 +570,31 @@ object SparkEntry {
         dupKeep = Some(dupClusters(s, dir)))
     }),
 
+    // Intra-document repetition ratio (duplicate-trigram fraction per
+    // document, 0.0 under 3 tokens) — the classic corpus quality rule.
+    "text_repetition" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.repetitionStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 3)
+    }),
+
+    // Eval-set decontamination: docs with doc_id % 97 == 0 act as the
+    // held-out eval corpus; every other doc reports how many of its
+    // distinct trigrams leak from the eval set.
+    "contamination_check" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TrainingDataOps.contaminationCheck(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0), n = 3)
+    }),
+
+    // PII redaction: email -> ssn -> phone rule order, all matches.
+    "pii_redact" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.piiRedact(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq(piiEmailRe -> "[EMAIL]", piiSsnRe -> "[SSN]",
+          piiPhoneRe -> "[PHONE]"))
+    }),
+
     // Content fingerprint (polynomial rolling hash of the full text).
     "text_fingerprint" -> ((s, dir) => {
       graft.ops.TrainingDataOps.fingerprint(
@@ -1225,6 +1250,49 @@ object SparkEntry {
          |    WHEN cum > 18 THEN 'source_cap'
          |    ELSE 'retained' END AS reason
          |FROM cum""".stripMargin,
+
+    // trigram fold restated: ((h1*31+h2) % P * 31 + h3) % P over the
+    // token-hash list; range(1, len-1) is EMPTY for len < 3, mirroring
+    // the engine's typed-empty guard.
+    "text_repetition" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(1, len(hs) - 1), i ->
+         |      ((hs[i]*31 + hs[i+1]) % 1000000007 * 31 + hs[i+2]) % 1000000007)
+         |    AS grams
+         |  FROM th)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(grams) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM g""".stripMargin,
+
+    "contamination_check" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 1), i ->
+         |      ((hs[i]*31 + hs[i+1]) % 1000000007 * 31 + hs[i+2]) % 1000000007))
+         |    AS grams
+         |  FROM th),
+         |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT tg.doc_id, count(*) AS n_overlap FROM tg
+         |       JOIN eg USING (gram) GROUP BY tg.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(o.n_overlap, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov o USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$piiEmailRe', '[EMAIL]', 'g'),
+         |    '$piiSsnRe', '[SSN]', 'g'),
+         |    '$piiPhoneRe', '[PHONE]', 'g') AS redacted
+         |FROM documents""".stripMargin,
 
     "quality_token_quantiles" ->
       s"""WITH $duckLangCtes,

@@ -710,6 +710,87 @@ object TrainingDataOps {
           .otherwise("retained").as("reason"))
   }
 
+  /** Per-position n-gram hashes from the single-pass per-token hash
+    * array: gram_i = fold(h_i..h_{i+n-1}) with acc = (acc*31 + h) mod P —
+    * O(1) element_at on the primitive array, one output per window
+    * position, every intermediate < 31·P+P so no ANSI long overflow on
+    * either engine. Typed-empty array when the document has fewer than n
+    * tokens: the `when` guard matters because sequence(0, negative) is a
+    * DESCENDING range (the round-1 ADVICE edge) and would index out of
+    * bounds under ANSI.
+    */
+  private def ngramHashCol(hs: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(hs) - n),
+      i => (0 until n).foldLeft(lit(0L)) { (acc, k) =>
+        (acc * 31 + element_at(hs, i + k + 1)) % P })
+    when(size(hs) >= n, grams).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Intra-document repetition (the classic duplicate-n-gram quality
+    * rule): the fraction of repeated token n-grams inside each document,
+    * rep_ratio = 1 − distinct/total, 0.0 for docs shorter than n tokens.
+    * Scale shape: pure per-row projection over the codegen token-hash
+    * array — no shuffle, no join; runs at scan speed and composes with
+    * the corpus-retain quality band.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    docs
+      .select(col(idCol), tokenPolyHashes(col(textCol)).as("hs"))
+      .select(col(idCol), ngramHashCol(col("hs"), n).as("grams"))
+      .select(col(idCol),
+        size(col("grams")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_ngrams"), col("n_distinct"),
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  /** Eval-set contamination check (decontamination): for every training
+    * document, how many of its DISTINCT token n-grams appear anywhere in
+    * the evaluation corpus. Scale shape: the training side is never
+    * shuffled on a non-key — its grams explode map-side and probe the
+    * BROADCAST eval gram set (eval corpora are small by construction);
+    * only the MATCHED (doc, gram) pairs shuffle into the per-doc count,
+    * and the zero-fill join back onto the id projection is left to AQE
+    * (broadcast when the overlap table is small — the normal case — and
+    * a real join when a pathologically contaminated corpus makes it
+    * large).
+    */
+  def contaminationCheck(train: DataFrame, evalSet: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokenPolyHashes(col(textCol)).as("hs"))
+      .select(col(idCol), ngramHashCol(col("hs"), n).as("grams"))
+    val eg = grams(evalSet)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val tg = grams(train)
+      .select(col(idCol), explode(array_distinct(col("grams"))).as("gram"))
+    val overlap = tg.join(broadcast(eg), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** PII redaction: replace every match of each (pattern → tag) rule in
+    * order. Pure regexp_replace projection — no shuffle; the rule order
+    * is part of the contract (an SSN-shaped string must be rewritten by
+    * the SSN rule before a looser phone rule can see it).
+    */
+  def piiRedact(docs: DataFrame, rules: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val red = rules.foldLeft(col(textCol)) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag) }
+    docs.select(col(idCol), red.as("redacted"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first `nBits` coordinate signs) — the LSH scale
     * path: candidates only within a bucket, never an O(n^2) cross join.

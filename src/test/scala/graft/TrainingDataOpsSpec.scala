@@ -304,6 +304,52 @@ class TrainingDataOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("repetition stats: hand-checked trigram ratios incl. the short-doc guard") {
+    val docs = Seq(
+      (0L, "x y x y x y"),                 // grams xyx,yxy,xyx,yxy: 4 total, 2 distinct
+      (1L, "a b"),                         // < 3 tokens: zero grams
+      (2L, "one two three four five"))     // all distinct
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.repetitionStats(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 2L, 0.5)), s"planted repeat: $out")
+    assert(out(1L) == ((0L, 0L, 0.0)), s"short doc guard: $out")
+    assert(out(2L) == ((3L, 3L, 0.0)), s"all-distinct doc: $out")
+  }
+
+  test("contamination check: planted eval overlap counted, clean and short docs zero") {
+    val train = Seq(
+      (2L, "one two three four five"),  // shares 2 distinct trigrams with eval
+      (3L, "alpha two three four omega"), // shares 1
+      (4L, "completely different words here"),
+      (5L, "zz"))                        // < 3 tokens
+      .toDF("doc_id", "text")
+    val evalSet = Seq((97L, "one two three four")).toDF("doc_id", "text")
+    val out = TrainingDataOps.contaminationCheck(train, evalSet, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(2L) == ((2L, true)), s"two leaked trigrams: $out")
+    assert(out(3L) == ((1L, true)), s"one leaked trigram: $out")
+    assert(out(4L) == ((0L, false)) && out(5L) == ((0L, false)),
+      s"clean + short docs report zero: $out")
+  }
+
+  test("pii redact: rule order applies, all matches rewritten, clean text unchanged") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val phone = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-1.com and b@x.io ssn 123-45-6789 tel 555-123-4567 x"),
+      (2L, "clean text no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.piiRedact(docs,
+      Seq(email -> "[EMAIL]", ssn -> "[SSN]", phone -> "[PHONE]"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail [EMAIL] and [EMAIL] ssn [SSN] tel [PHONE] x",
+      s"got ${out(1L)}")
+    assert(out(2L) == "clean text no pii at all")
+  }
+
   test("token-count quantiles: integer histogram rule, hand-checked per language") {
     // tokens chosen OUTSIDE every language lexicon ('y' is Spanish, 'a'
     // and 'is' are English — single letters are not safe fillers here)
