@@ -89,6 +89,19 @@ class ExplainSpec extends SparkSpec {
     } finally graft.stream.IceLite.rmTree(new java.io.File(root))
   }
 
+  test("shuffle-free projections plan ZERO exchanges") {
+    // the scan-speed operators' whole value is no shuffle; a regression
+    // (an accidental repartition, a window, a join) fails here
+    for (q <- Seq("text_repetition", "pii_redact", "sample_stratified")) {
+      assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
+    }
+  }
+
+  test("contamination_check: eval gram set broadcasts; training side never sort-merge-joins on grams") {
+    val p = plan("contamination_check")
+    assert(p.contains("BroadcastExchange"), "eval gram set must broadcast")
+  }
+
   test("dedup_exact: column pruning reaches the scan") {
     val p = plan("dedup_exact")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
