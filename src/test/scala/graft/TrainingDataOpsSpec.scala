@@ -339,7 +339,7 @@ class TrainingDataOpsSpec extends SparkSpec {
     val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
     val phone = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
     val docs = Seq(
-      (1L, "mail a.b+c@ex-1.com and b@x.io ssn 123-45-6789 tel 555-123-4567 x"),
+      (1L, "mail a.b+c@example.com and b@host.test ssn 123-45-6789 tel 555-123-4567 x"),
       (2L, "clean text no pii at all"))
       .toDF("doc_id", "text")
     val out = TrainingDataOps.piiRedact(docs,
