@@ -570,6 +570,14 @@ object SparkEntry {
         dupKeep = Some(dupClusters(s, dir)))
     }),
 
+    // Exact heavy hitters (corpus tokens with frequency >= 0.5%) via the
+    // two-pass Misra-Gries candidates + exact-count-of-candidates plan —
+    // the full-vocabulary shuffle never happens.
+    "heavy_hitters" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.heavyHitterTokens(
+        t(s, dir, "documents").select(col("text")), minFreq = 0.005)
+    }),
+
     // Intra-document repetition ratio (duplicate-trigram fraction per
     // document, 0.0 under 3 tokens) — the classic corpus quality rule.
     "text_repetition" -> ((s, dir) => {
@@ -1250,6 +1258,20 @@ object SparkEntry {
          |    WHEN cum > 18 THEN 'source_cap'
          |    ELSE 'retained' END AS reason
          |FROM cum""".stripMargin,
+
+    // The MG candidate pass is a pure pruning device (every true heavy
+    // hitter provably survives it); the exact-count + threshold filter
+    // makes the result identical to the plain GROUP BY restatement.
+    // ceil(0.005 * n) is the same double->ceil on both engines.
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS (SELECT token FROM toks WHERE token <> ''),
+        |tot AS (SELECT count(*) AS n FROM tk)
+        |SELECT token, count(*) AS cnt
+        |FROM tk, tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) >= CAST(ceil(0.005 * n) AS BIGINT)""".stripMargin,
 
     // trigram fold restated: ((h1*31+h2) % P * 31 + h3) % P over the
     // token-hash list; range(1, len-1) is EMPTY for len < 3, mirroring

@@ -791,6 +791,48 @@ object TrainingDataOps {
     docs.select(col(idCol), red.as("redacted"))
   }
 
+  /** EXACT corpus heavy hitters (tokens with frequency ≥ minFreq) in two
+    * sub-quadratic passes — the scale path for vocabulary statistics
+    * that `topTokens`' full-vocabulary shuffle cannot take at web scale:
+    *
+    *  1. ONE scan computes the total token count and a Misra–Gries
+    *     candidate sketch (k = max(8, ceil(2/minFreq)), buffer ≤ 2k
+    *     entries) as a single mergeable aggregate — the MG guarantee
+    *     (undercount ≤ N/(k+1) < minFreq·N/2) means every true heavy
+    *     hitter is in the candidate array no matter how rows were
+    *     partitioned; the array is constant-bounded (≤ 2k), so the
+    *     driver-side collect is safe at any corpus size.
+    *  2. A second scan exact-counts ONLY the candidate tokens (an In
+    *     filter keeps the big side map-local; the groupBy shuffles at
+    *     most 2k distinct keys per partition) and applies the exact
+    *     threshold ceil(minFreq · N).
+    *
+    * The candidate SET varies with partitioning; the exact-count filter
+    * makes the RESULT deterministic — which is what lets DuckDB's plain
+    * GROUP BY + HAVING restate it.
+    */
+  def heavyHitterTokens(docs: DataFrame, minFreq: Double,
+      textCol: String = "text"): DataFrame = {
+    require(minFreq > 0.0 && minFreq <= 1.0, s"minFreq in (0,1]: $minFreq")
+    val k = math.max(8, math.ceil(2.0 / minFreq).toInt)
+    val toks = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val row = toks.agg(
+      count(lit(1)).as("n_total"),
+      graft.expressions.MisraGriesAgg.candidates(col("token"), k).as("cands"))
+      .head()
+    val nTotal = row.getLong(0)
+    val cands = row.getSeq[String](1)
+    val threshold = math.ceil(minFreq * nTotal).toLong
+    val counted =
+      if (cands.isEmpty) toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt")).filter(lit(false))
+      else toks.filter(col("token").isInCollection(cands))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counted.filter(col("cnt") >= threshold).select(col("token"), col("cnt"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first `nBits` coordinate signs) — the LSH scale
     * path: candidates only within a bucket, never an O(n^2) cross join.

@@ -350,6 +350,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out(2L) == "clean text no pii at all")
   }
 
+  test("Misra-Gries candidates: above-threshold token survives any partitioning; buffer bounded") {
+    // N = 560, k = 16 => max undercount N/(k+1) = 32.9 < 60: 'hot' MUST
+    // survive no matter how the rows are partitioned or merged
+    val rows = Seq.fill(60)("hot") ++ (0 until 500).map(i => s"cold$i")
+    for (parts <- Seq(1, 3, 13)) {
+      val cands = rows.toDF("token").repartition(parts)
+        .agg(graft.expressions.MisraGriesAgg.candidates(col("token"), 16))
+        .head().getSeq[String](0)
+      assert(cands.contains("hot"), s"parts=$parts lost the heavy hitter")
+      assert(cands.length <= 32, s"parts=$parts buffer bound 2k violated: ${cands.length}")
+    }
+  }
+
+  test("heavy hitters: exact counts survive MG pruning across partitions") {
+    // 1003 distinct tokens vs a 58-entry MG buffer (k=29): pruning fires
+    // constantly, yet the exact second pass recovers precise counts.
+    // N = 1620, threshold = ceil(0.07*1620) = 114
+    val rows = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+      Seq.fill(120)("gamma") ++ (0 until 1000).map(i => s"tail$i")
+    val docs = rows.grouped(10).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(7)
+    val out = TrainingDataOps.heavyHitterTokens(docs, minFreq = 0.07)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> 300L, "beta" -> 200L, "gamma" -> 120L),
+      s"got $out")
+  }
+
   test("token-count quantiles: integer histogram rule, hand-checked per language") {
     // tokens chosen OUTSIDE every language lexicon ('y' is Spanish, 'a'
     // and 'is' are English — single letters are not safe fillers here)
