@@ -80,7 +80,18 @@ object GuardianStream {
       // (per-conversation cardinality), so enabling costs one 4-column
       // read-back + small write per epoch — a deployment knob, default
       // off; `readSessionQuality` merges the interval partials exactly.
-      sessionGap: Option[String] = None)
+      sessionGap: Option[String] = None,
+      // When set (RIDES the quality sink — requires qualityWindow), each
+      // epoch also lands a Misra–Gries vocabulary summary (≤ 2k
+      // heavy-token candidates + counters, tokenized inside the
+      // aggregate) in the SAME quality manifest — a standing vocabulary /
+      // heavy-hitter monitor on the commit path for zero extra jobs.
+      // Counters are UNDER-counts with total error ≤ N_tokens/(k+1) over
+      // the whole stream regardless of epoch boundaries (mergeable
+      // summaries); `readVocab` folds epochs in batch order, so the
+      // merged view is deterministic and compaction is bit-exact
+      // lossless.
+      vocabK: Option[Int] = None)
 
   /** The per-batch text-length spec driving the micro-batch validation
     * report (the streaming analog of validate_dataset's fixed ranges,
@@ -136,11 +147,24 @@ object GuardianStream {
     * manifest; a crash between the two publishes is healed on the
     * epoch's redelivery (processBatch re-runs only this step).
     */
+  /** The epoch's committed data dir, or None when the epoch wrote no
+    * parquet (empty epoch) — the recovery re-derivation source.
+    */
+  private def epochDataDir(cfg: StreamConfig, batchId: Long): Option[String] = {
+    val dataDir =
+      java.nio.file.Paths.get(cfg.sinkDir, "data", s"batch=$batchId").toString
+    val hasFiles = Option(new java.io.File(dataDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (hasFiles) Some(dataDir) else None
+  }
+
   private def publishQuality(
       spark: SparkSession,
       cfg: StreamConfig,
       batchId: Long,
-      observed: Option[scala.collection.Map[Long, scala.collection.Seq[Long]]]): Unit = {
+      observed: Option[scala.collection.Map[Long, scala.collection.Seq[Long]]],
+      observedVocab: Option[scala.collection.Map[String, Long]] = None): Unit = {
     val window = cfg.qualityWindow.getOrElse(return)
     val root = qualityRoot(cfg)
     if (IceLite.isCommitted(root, batchId)) return
@@ -154,20 +178,35 @@ object GuardianStream {
         // publishes, epoch redelivered): re-derive the partials from the
         // epoch's committed parquet. An empty epoch has no data files —
         // publish an empty partials manifest.
-        val dataDir =
-          java.nio.file.Paths.get(cfg.sinkDir, "data", s"batch=$batchId").toString
-        val hasFiles = Option(new java.io.File(dataDir).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-        if (!hasFiles) Seq.empty
-        else {
-          spark.read.parquet(dataDir)
-            .agg(graft.expressions.WindowStatsAgg.column(
-              col("ts"), col("text_len"), col("has_pii"), winUs, slideUs).as("qwin"))
-            .collect()(0)
-            .getMap[Long, scala.collection.Seq[Long]](0)
-            .toSeq.map { case (ws, a) => ws -> a.toSeq }
+        epochDataDir(cfg, batchId) match {
+          case None => Seq.empty
+          case Some(dataDir) =>
+            spark.read.parquet(dataDir)
+              .agg(graft.expressions.WindowStatsAgg.column(
+                col("ts"), col("text_len"), col("has_pii"), winUs, slideUs).as("qwin"))
+              .collect()(0)
+              .getMap[Long, scala.collection.Seq[Long]](0)
+              .toSeq.map { case (ws, a) => ws -> a.toSeq }
         }
+    }
+    // Vocabulary summary (when configured): observed partial or the same
+    // recovery re-derivation. A re-derived summary can differ from the
+    // one the crashed attempt WOULD have published (MG values depend on
+    // the merge tree) — both are valid summaries, and exactly-once
+    // publish makes whichever lands first THE epoch value.
+    val vocab: Option[Seq[(String, Long)]] = cfg.vocabK.map { k =>
+      observedVocab match {
+        case Some(m) => m.toSeq.sortBy(_._1)
+        case None =>
+          epochDataDir(cfg, batchId) match {
+            case None => Seq.empty
+            case Some(dataDir) =>
+              spark.read.parquet(dataDir)
+                .agg(graft.expressions.MisraGriesAgg.textColumn(col("text"), k).as("v"))
+                .collect()(0)
+                .getMap[String, Long](0).toSeq.sortBy(_._1)
+          }
+      }
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
@@ -184,9 +223,56 @@ object GuardianStream {
       pn.put("len_sum", a(3)); pn.put("len_sumsq", a(4))
       pn.put("n_pii", a(5))
     }
+    vocab.foreach { vs =>
+      node.put("vocab_k", cfg.vocabK.get)
+      val va = node.putArray("vocab")
+      vs.foreach { case (t, c) =>
+        val vn = va.addObject(); vn.put("t", t); vn.put("c", c)
+      }
+    }
     IceLite.commitIO.publishIfAbsent(
       qualityManifestPath(root, batchId), mapper.writeValueAsString(node))
     ()
+  }
+
+  /** (k, (token, counter) pairs) of one quality manifest's vocabulary
+    * summary, or None when the manifest carries no vocab block.
+    */
+  private def vocabOf(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      path: java.nio.file.Path): Option[(Int, Seq[(String, Long)])] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(path))
+    Option(node.get("vocab_k")).map { kn =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      Option(node.get("vocab")).foreach(_.elements().forEachRemaining { vn =>
+        out += (vn.get("t").asText() -> vn.get("c").asLong())
+      })
+      kn.asInt() -> out.toSeq
+    }
+  }
+
+  /** Merged vocabulary monitor view: fold the per-epoch Misra–Gries
+    * summaries (compacted state first, then residual epochs in batch
+    * order — the SAME left-fold `compactQuality` performs, so the view
+    * is identical before and after compaction) into one ≤ 2k-entry
+    * (token, counter) table. Counters under-count by at most
+    * N_tokens/(k+1) over the whole stream; no token is over-counted.
+    */
+  def readVocab(spark: SparkSession, sinkDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sinkDir, "quality").toString
+    val (latest, residual) = qualitySources(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val acc = new java.util.HashMap[String, Array[Long]]()
+    def fold(path: java.nio.file.Path): Unit =
+      vocabOf(mapper, path).foreach { case (k, partial) =>
+        graft.expressions.MgBuffer.foldStringPartial(acc, partial, k)
+      }
+    latest.foreach(u => fold(compactQualityPath(root, u)))
+    residual.foreach(b => fold(qualityManifestPath(root, b)))
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    acc.forEach { (t, c) => rows += (t -> c(0)); () }
+    rows.toSeq.sortBy(_._1).toDF("token", "cnt")
   }
 
   private def sessionsRoot(cfg: StreamConfig): String =
@@ -479,10 +565,25 @@ object GuardianStream {
         a(6) += p(7)
       }
     }
-    latest.foreach(u =>
-      qualityPartialsOf(mapper, compactQualityPath(root, u)).foreach(fold))
-    residual.foreach(b =>
-      qualityPartialsOf(mapper, qualityManifestPath(root, b)).foreach(fold))
+    // Vocabulary summaries fold with the IDENTICAL left-fold readVocab
+    // performs (compacted first, then residual ascending), so the merged
+    // view is bit-exact before ≡ after compaction even though MG merge
+    // with pruning is not order-independent.
+    val vacc = new java.util.HashMap[String, Array[Long]]()
+    var vocabK = 0
+    def vfold(path: java.nio.file.Path): Unit =
+      vocabOf(mapper, path).foreach { case (k, partial) =>
+        vocabK = k
+        graft.expressions.MgBuffer.foldStringPartial(vacc, partial, k)
+      }
+    latest.foreach { u =>
+      qualityPartialsOf(mapper, compactQualityPath(root, u)).foreach(fold)
+      vfold(compactQualityPath(root, u))
+    }
+    residual.foreach { b =>
+      qualityPartialsOf(mapper, qualityManifestPath(root, b)).foreach(fold)
+      vfold(qualityManifestPath(root, b))
+    }
     val node = mapper.createObjectNode()
     node.put("upto_batch", upTo)
     latest.foreach(node.put("prev_compact", _))
@@ -494,6 +595,15 @@ object GuardianStream {
       pn.put("len_min", a(2)); pn.put("len_max", a(3))
       pn.put("len_sum", a(4)); pn.put("len_sumsq", a(5))
       pn.put("n_pii", a(6))
+    }
+    if (vocabK > 0) {
+      node.put("vocab_k", vocabK)
+      val va = node.putArray("vocab")
+      val vrows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      vacc.forEach { (t, c) => vrows += (t -> c(0)); () }
+      vrows.sortBy(_._1).foreach { case (t, c) =>
+        val vn = va.addObject(); vn.put("t", t); vn.put("c", c)
+      }
     }
     IceLite.commitIO.publishIfAbsent(
       compactQualityPath(root, upTo), mapper.writeValueAsString(node))
@@ -665,7 +775,11 @@ object GuardianStream {
       graft.expressions.WindowStatsAgg.column(
         col("ts"), col("text_len"), col("has_pii"), windowMicros(w),
         cfg.qualitySlide.map(windowMicros).getOrElse(0L)).as("qwin"))
-    val metrics = baseMetrics ++ qualityMetric
+    // The vocabulary monitor rides the same observe() (tokenizes inside
+    // the aggregate — the written rows are not exploded).
+    val vocabMetric = for { _ <- cfg.qualityWindow; k <- cfg.vocabK } yield
+      graft.expressions.MisraGriesAgg.textColumn(col("text"), k).as("vocab")
+    val metrics = baseMetrics ++ qualityMetric ++ vocabMetric
     // Commit-path phase timing (bench diagnosis only; off unless
     // GRAFT_COMMIT_TIMING=1 in the environment).
     val timing = sys.env.get("GRAFT_COMMIT_TIMING").contains("1")
@@ -723,7 +837,9 @@ object GuardianStream {
     phase("quality") {
       publishQuality(batch.sparkSession, cfg, batchId,
         observed = qualityMetric.map(_ =>
-          m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]))
+          m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]),
+        observedVocab = vocabMetric.map(_ =>
+          m("vocab").asInstanceOf[scala.collection.Map[String, Long]]))
     }
     publishSessions(batch.sparkSession, cfg, batchId)
     // Periodic partial compaction (idempotent, crash-safe: atomic

@@ -514,6 +514,56 @@ class StreamingSpec extends SparkSpec {
       s"sliding quality windows equal batch: ${(e -- s).take(3)} vs ${(s -- e).take(3)}")
   }
 
+  test("vocabulary monitor: undercount-only within the MG bound; compaction lossless") {
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 38,
+      stepSeconds = 120, burstLen = 1000)
+    val base = turnsDF(spec)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("vm-src")
+    writeBatches(src, Seq(
+      base.filter(unix_timestamp(col("ts")) <= mid),
+      base.filter(unix_timestamp(col("ts")) > mid)))
+    val k = 12
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("vm-ck"), sinkDir = tmp("vm-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"), vocabK = Some(k))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    val got = GuardianStream.readVocab(spark, cfg.sinkDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.size <= 2 * k, s"buffer bound: ${got.size}")
+
+    // exact token counts over the rows the pipeline actually committed
+    val exact = IceLite.read(spark, cfg.sinkDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1)
+    // MG counters NEVER over-count
+    got.foreach { case (t, c) =>
+      assert(c <= exact.getOrElse(t, 0L), s"over-count on '$t': $c")
+    }
+    // every token above the global bound must be present with a counter
+    // short by at most the bound — across epoch boundaries and the
+    // read-side fold (the mergeable-summaries guarantee end to end)
+    val heavies = exact.filter(_._2 > bound)
+    assert(heavies.nonEmpty, s"fixture has no heavy token (n=$n bound=$bound)")
+    heavies.foreach { case (t, cnt) =>
+      assert(got.contains(t) && got(t) >= cnt - bound,
+        s"heavy '$t' exact=$cnt got=${got.get(t)} bound=$bound")
+    }
+
+    // compaction performs the identical left-fold => bit-exact view
+    assert(GuardianStream.compactQuality(cfg.sinkDir))
+    val after = GuardianStream.readVocab(spark, cfg.sinkDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == got, "vocab view changed under compaction")
+  }
+
   test("late rows behind the watermark are dropped") {
     val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
       stepSeconds = 60, burstLen = 100)
