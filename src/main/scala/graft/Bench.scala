@@ -161,7 +161,10 @@ object Bench {
         availableNow = true,
         // A/B knob: bench the legacy fMGWS dedup path with
         // SPARK_GRAFT_ROW_DEDUP=off (default: row-level)
-        rowDedup = !sys.env.get("SPARK_GRAFT_ROW_DEDUP").contains("off"))
+        rowDedup = !sys.env.get("SPARK_GRAFT_ROW_DEDUP").contains("off"),
+        // A/B knob: ride the standing vocabulary monitor on the commit
+        // path with SPARK_GRAFT_VOCAB_K=<k> (default: off)
+        vocabK = sys.env.get("SPARK_GRAFT_VOCAB_K").map(_.toInt))
       val commitTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
