@@ -625,6 +625,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Embedding-space duplicate CLUSTERS: sign-bucket LSH pairs fed
+    // through the same distributed connected components as the text path
+    // — the canonical keep set for embedding-space dedup.
+    "embedding_clusters" -> ((s, dir) => {
+      val pairs = graft.ops.TrainingDataOps.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", 0.3)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.ops.TrainingDataOps.connectedComponents(pairs)
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("vec_id"), col("label").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("label")).as("keep"))
+    }),
+
     // Multimodal frame sampling over a pseudo-binary payload derived from
     // document text (decode stage stubbed — no codecs in the sandbox; the
     // chunk/explode plumbing is the real operator).
@@ -745,6 +759,22 @@ object SparkEntry {
   /** Token-hash list of a document's space-split tokens (DuckDB side). */
   private def duckTokenHashes: String =
     s"list_transform(string_split(text, ' '), t -> ${duckPolyHash("t")})"
+
+  /** Sign-bucket LSH candidate CTEs of the embeddings table (DuckDB
+    * side): `e` (vector, norm, 8-bit sign bucket) → `small` (buckets
+    * within the 64-row cap) → `kept`. Shared by `embedding_neardup` and
+    * `embedding_clusters`.
+    */
+  private def duckEmbKeptCtes: String =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN embedding[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS bucket
+      |  FROM embeddings),
+      |small AS (
+      |  SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 64),
+      |kept AS (SELECT e.* FROM e JOIN small USING (bucket))""".stripMargin
 
   /** DuckDB restatement of the language-ID dispatch as CTEs `lc` + `lang`
     * (carrying doc_id, text, lang_guess) — shared by the lang-grouped
@@ -1383,20 +1413,35 @@ object SparkEntry {
     },
 
     "embedding_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
-        |    list_sum(list_transform(range(0, 8), j ->
-        |      CASE WHEN embedding[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS bucket
-        |  FROM embeddings),
-        |small AS (
-        |  SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 64),
-        |kept AS (SELECT e.* FROM e JOIN small USING (bucket))
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cosine
-        |FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $duckEmbKeptCtes
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cosine
+         |FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the embedding pairs' transitive closure, same recursive min-label
+    // walk as dedup_clusters (engine side: large-star/small-star)
+    "embedding_clusters" ->
+      s"""WITH RECURSIVE $duckEmbKeptCtes,
+         |vpairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs),
+         |walk(node, reach) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT w.node, g.v FROM walk w JOIN edges g ON g.u = w.reach),
+         |lbl AS (
+         |  SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+         |siz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+         |SELECT l.node AS vec_id, l.cluster_id, s.cluster_size,
+         |  l.node = l.cluster_id AS keep
+         |FROM lbl l JOIN siz s USING (cluster_id)""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id, k.i AS frame_idx,
