@@ -363,6 +363,25 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries text aggregate: exact counters below capacity; tokenization matches split-explode") {
+    // vocabulary < k => no prune ever fires => counters are EXACT and
+    // must equal the explode(split(text,' ')) ground truth, including
+    // the multi-space / leading / trailing empty-token skips
+    val docs = Seq(
+      "alpha  beta alpha", " beta gamma ", "alpha", "", "  ")
+      .toDF("text").repartition(3)
+    val got = docs
+      .agg(graft.expressions.MisraGriesAgg.textColumn(col("text"), 16))
+      .head().getMap[String, Long](0)
+    val exact = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.toMap == exact, s"got $got vs exact $exact")
+    assert(exact == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
   test("heavy hitters: exact counts survive MG pruning across partitions") {
     // 1003 distinct tokens vs a 58-entry MG buffer (k=29): pruning fires
     // constantly, yet the exact second pass recovers precise counts.
