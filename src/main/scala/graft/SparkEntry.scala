@@ -595,6 +595,32 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97L)) === 0), n = 3)
     }),
 
+    // Cross-document exact-substring duplication (inverted 5-gram index,
+    // the ExactSubstr shape): fraction of each doc's gram positions that
+    // also occur in at least one other document.
+    "dedup_substring" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.crossdocDupStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5)
+    }),
+
+    // Unigram perplexity proxy: per-doc mean -ln p(token) under the
+    // corpus' own top-20 unigram model, OOV floor 1/N (the top-20 cut
+    // leaves ~1/3 of this fixture's 31-token vocabulary OOV, so both
+    // lookup branches are exercised).
+    "quality_logprob" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.unigramLogProb(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        vocabSize = 20)
+    }),
+
+    // Training-sequence chunking: 30-token windows, stride 22 (8-token
+    // overlap), deterministic chunk index per document.
+    "chunk_documents" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.chunkDocuments(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        chunkSize = 30, stride = 22)
+    }),
+
     // PII redaction: email -> ssn -> phone rule order, all matches.
     "pii_redact" -> ((s, dir) => {
       graft.ops.TrainingDataOps.piiRedact(
@@ -759,6 +785,17 @@ object SparkEntry {
   /** Token-hash list of a document's space-split tokens (DuckDB side). */
   private def duckTokenHashes: String =
     s"list_transform(string_split(text, ' '), t -> ${duckPolyHash("t")})"
+
+  /** DuckDB n-gram hash fold over a token-hash list `hs` — the general-n
+    * twin of the engine's ngramHashCol: ((…(hs[i]·31+hs[i+1]) mod P)·31+…).
+    * range(1, len-(n-2)) is naturally EMPTY for len < n, mirroring the
+    * engine's typed-empty when-guard.
+    */
+  private def duckGramExpr(n: Int): String = {
+    val acc = (1 until n).foldLeft("hs[i]") { (a, k) =>
+      s"($a * 31 + hs[i+$k]) % 1000000007" }
+    s"list_transform(range(1, len(hs) - ${n - 2}), i -> $acc)"
+  }
 
   /** Sign-bucket LSH candidate CTEs of the embeddings table (DuckDB
     * side): `e` (vector, norm, 8-bit sign bucket) → `small` (buckets
@@ -1337,6 +1374,63 @@ object SparkEntry {
          |  coalesce(o.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov o USING (doc_id)
          |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    // Inverted-index restatement: gd = grams seen in >= 2 distinct docs;
+    // n_shared counts gram POSITIONS (the explode keeps multiplicity).
+    "dedup_substring" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |g AS (SELECT doc_id, ${duckGramExpr(5)} AS grams FROM th),
+         |pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |gd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+         |       GROUP BY gram HAVING count(*) >= 2),
+         |sh AS (SELECT pos.doc_id, count(*) AS n_shared FROM pos
+         |       JOIN gd USING (gram) GROUP BY pos.doc_id)
+         |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(CASE WHEN len(grams) > 0
+         |    THEN CAST(coalesce(s.n_shared, 0) AS DOUBLE) / len(grams)
+         |    ELSE 0.0 END, 5) AS dup_frac
+         |FROM g LEFT JOIN sh s USING (doc_id)""".stripMargin,
+
+    // The per-doc mean is a list_sum over list(nlp ORDER BY ord) — a
+    // sequential fold in TOKEN ORDER, the same floating-point summation
+    // order as the engine's aggregate() fold (a join-reordered SUM could
+    // differ in the last ulp and flip a round-5 boundary).
+    "quality_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |cnt AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnt),
+        |vocab AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 20),
+        |dt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |       FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ord, toks
+        |        FROM dt WHERE len(toks) > 0),
+        |px AS (SELECT doc_id, ord, toks[ord] AS token FROM pos),
+        |sc AS (SELECT px.doc_id, px.ord,
+        |         -ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / tot.n) AS nlp
+        |       FROM px LEFT JOIN vocab v USING (token), tot),
+        |agg AS (SELECT doc_id, list_sum(list(nlp ORDER BY ord)) AS s,
+        |          count(*) AS c FROM sc GROUP BY doc_id)
+        |SELECT doc_id, CAST(c AS BIGINT) AS n_tokens, round(s / c, 5) AS avg_neg_logp
+        |FROM agg""".stripMargin,
+
+    // n_chunks = 1 + ceil(max(0, len-30)/22); DuckDB list slice [a:b] is
+    // 1-based INCLUSIVE and end-clamped, mirroring slice(toks, a, 30).
+    "chunk_documents" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |nz AS (SELECT doc_id, toks,
+        |         1 + (greatest(len(toks) - 30, 0) + 21) // 22 AS n_chunks
+        |       FROM dt WHERE len(toks) > 0),
+        |ch AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM nz)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*22+1 : chunk_idx*22+30]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[chunk_idx*22+1 : chunk_idx*22+30], ' ') AS chunk_text
+        |FROM ch""".stripMargin,
 
     "pii_redact" ->
       s"""SELECT doc_id,

@@ -833,6 +833,126 @@ object TrainingDataOps {
     counted.filter(col("cnt") >= threshold).select(col("token"), col("cnt"))
   }
 
+  /** Cross-document exact-substring duplication (the inverted-index
+    * "ExactSubstr" shape of Lee et al., *Deduplicating Training Data
+    * Makes Language Models Better*): for each document, the fraction of
+    * its token n-gram POSITIONS whose gram also occurs in at least one
+    * OTHER document — the signal a pipeline uses to cut boilerplate and
+    * templated spans that whole-document dedup cannot see.
+    *
+    * Scale shape: the exploded (doc, gram) table IS the inverted index.
+    * Both passes over it key on the gram hash (uniform by construction):
+    * the distinct-doc count is a map-side-combinable two-phase aggregate,
+    * and the join back is a plain shuffle join — never all-pairs; a
+    * near-universal gram is a skewed join key AQE's skew-join splits.
+    * Per-doc totals come from size(hs) arithmetic, so the gram arrays are
+    * built once per pass and never carried through the aggregation. At
+    * deployment scale the index would be persisted/bucketed between the
+    * two passes; here each pass re-derives it at scan speed.
+    */
+  def crossdocDupStats(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    val th = docs.select(col(idCol), tokenPolyHashes(col(textCol)).as("hs"))
+    val pos = th
+      .select(col(idCol), explode(ngramHashCol(col("hs"), n)).as("gram"))
+    val shared = pos.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"))
+    val nShared = pos.join(shared, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    th.select(col(idCol),
+        greatest(size(col("hs")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+      .join(nShared, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        round(when(col("n_grams") > 0,
+          col("n_shared").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)), 5))
+  }
+
+  /** Unigram log-probability quality score (perplexity proxy): per-doc
+    * mean negative log-likelihood of its tokens under the corpus' OWN
+    * unigram model restricted to the top-`vocabSize` tokens, OOV floor
+    * p = 1/N — the cheap statistical stand-in for a KenLM quality filter.
+    * Docs with zero tokens are dropped (no mean exists).
+    *
+    * Two passes: (1) vocabulary selection — a vocabulary-bounded token
+    * groupBy (ties at the boundary broken by token order, so the model is
+    * deterministic) collected to the driver, bounded by `vocabSize`;
+    * (2) scoring — a SHUFFLE-FREE scan: the model ships as a broadcast
+    * map literal and each doc folds its token array through
+    * try_element_at + aggregate, all inside codegen. At web scale swap
+    * pass 1's exact groupBy for the Misra–Gries candidate pass
+    * (`heavyHitterTokens`) and the map literal for a broadcast join —
+    * the scoring contract is unchanged.
+    */
+  def unigramLogProb(docs: DataFrame, vocabSize: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val toks = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totRow = cnt.agg(sum(col("cnt"))).head()
+    val empty = docs.sparkSession.emptyDataFrame
+      .select(lit(0L).as(idCol), lit(0L).as("n_tokens"),
+        lit(0.0).as("avg_neg_logp")).limit(0)
+    if (totRow.isNullAt(0)) return empty
+    val nTotal = totRow.getLong(0)
+    val vocab = cnt.orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val oovNlp = math.log(nTotal.toDouble) // -ln(1/N)
+    val model = map(vocab.flatMap { case (tok, c) =>
+      Seq(lit(tok), lit(-math.log(c.toDouble / nTotal))) }.toIndexedSeq: _*)
+    val tokensCol = filter(split(col(textCol), " "), t => t =!= "")
+    docs.select(col(idCol), tokensCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(
+          aggregate(col("toks"), lit(0.0),
+            (acc, tok) => acc + coalesce(try_element_at(model, tok), lit(oovNlp)))
+            / size(col("toks")),
+          5).as("avg_neg_logp"))
+  }
+
+  /** Fixed-size overlapping token-window chunking (training-sequence
+    * prep): chunk i covers token positions [i·stride, i·stride+chunkSize).
+    * Chunks are emitted while the PREVIOUS chunk did not already reach the
+    * document's end — every token is covered, tail chunks may be short,
+    * and a chunk that would add no new tokens is never emitted
+    * (n_chunks = 1 + ceil(max(0, len − chunkSize) / stride)). Docs with
+    * zero tokens produce no chunks.
+    *
+    * Scale: a pure per-row sequence-explode projection — no shuffle, no
+    * join; output order within a doc is the deterministic chunk index.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 30, stride: Int = 22,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: chunkSize=$chunkSize stride=$stride")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // Column `/` is fractional: floor((x + (stride-1)) / stride) is the
+    // ceiling division of the uncovered suffix.
+    val nChunks = floor(
+      (greatest(size(col("toks")) - chunkSize, lit(0)) + (stride - 1))
+        / stride).cast("long") + 1
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("ctoks"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among sign-projection
     * bucket candidates (first `nBits` coordinate signs) — the LSH scale
     * path: candidates only within a bucket, never an O(n^2) cross join.

@@ -334,6 +334,61 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"clean + short docs report zero: $out")
   }
 
+  test("crossdoc dup stats: shared 5-gram positions counted with multiplicity; short-doc guard") {
+    val docs = Seq(
+      (0L, "a b c d e f"),              // grams abcde,bcdef
+      (1L, "a b c d e zz"),             // shares abcde with 0 and 4
+      (2L, "q r s t u v w"),            // 3 grams, none shared
+      (3L, "x y"),                      // < 5 tokens: zero grams
+      (4L, "a b c d e f a b c d e"))    // abcde at pos 0 AND 6, bcdef at 1
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.crossdocDupStats(docs, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)), s"both grams of doc0 shared: $out")
+    assert(out(1L) == ((2L, 1L, 0.5)), s"doc1 shares only abcde: $out")
+    assert(out(2L) == ((3L, 0L, 0.0)), s"unshared doc: $out")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"short-doc guard: $out")
+    assert(out(4L) == ((7L, 3L, 0.42857)),
+      s"positions counted with multiplicity (abcde twice + bcdef): $out")
+  }
+
+  test("unigram logprob: hand-computed means, OOV floor, empty docs dropped") {
+    val docs = Seq(
+      (0L, "a a b"), (1L, "a b c"), (2L, ""))
+      .toDF("doc_id", "text")
+    // corpus: a x3, b x2, c x1, N = 6; vocabSize=2 => vocab {a: 1/2, b: 1/3},
+    // c is OOV at floor 1/6
+    val out = TrainingDataOps.unigramLogProb(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r5(x: Double) = math.rint(x * 1e5) / 1e5
+    assert(out.size == 2 && !out.contains(2L), s"empty doc dropped: $out")
+    assert(out(0L) == ((3L, r5((2 * math.log(2.0) + math.log(3.0)) / 3))),
+      s"doc0 mean -ln p: $out")
+    assert(out(1L) == ((3L,
+      r5((math.log(2.0) + math.log(3.0) + math.log(6.0)) / 3))),
+      s"doc1 exercises the OOV floor: $out")
+  }
+
+  test("chunk documents: coverage without redundant tails, short last chunk, empty doc dropped") {
+    val t12 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, t12),                               // 12 toks: starts 0,3,6,9
+      (1L, "a b c d e"),                       // exactly one chunk
+      (2L, "a b c d e f"),                     // second chunk adds 1 new token
+      (3L, ""))                                // dropped
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.chunkDocuments(docs, chunkSize = 5, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keys.count(_._1 == 0L) == 4, s"12 tokens, stride 3: 4 chunks: $out")
+    assert(out((0L, 0L)) == ((5L, "t1 t2 t3 t4 t5")), s"first window: $out")
+    assert(out((0L, 3L)) == ((3L, "t10 t11 t12")), s"short tail covers the end: $out")
+    assert(out.keys.count(_._1 == 1L) == 1, s"exact-fit doc: one chunk: $out")
+    assert(out((2L, 1L)) == ((3L, "d e f")), s"overlap window: $out")
+    assert(!out.keys.exists(_._1 == 3L), s"empty doc produces no chunks: $out")
+  }
+
   test("pii redact: rule order applies, all matches rewritten, clean text unchanged") {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
