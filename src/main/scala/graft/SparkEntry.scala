@@ -551,6 +551,15 @@ object SparkEntry {
         rates = Map("en" -> 200, "zh" -> 300), defaultPermille = 600)
     }),
 
+    // Data-dependent language REBALANCING: every language downsampled to
+    // the smallest one's size, keep-rate floor(1000*min/cnt) permille —
+    // the rates come from the data (two-phase), the filter is the same
+    // shuffle-free deterministic bucket rule.
+    "sample_rebalance" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.rebalanceSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")))
+    }),
+
     // Per-source document cap (domain cap): at most 22 docs per source,
     // priority by ascending doc_id.
     "source_cap" -> ((s, dir) => {
@@ -785,6 +794,12 @@ object SparkEntry {
   /** Token-hash list of a document's space-split tokens (DuckDB side). */
   private def duckTokenHashes: String =
     s"list_transform(string_split(text, ' '), t -> ${duckPolyHash("t")})"
+
+  /** DuckDB twin of TrainingDataOps.samplingBucket's quadratic remix —
+    * `h` must name a column holding the salted-id polyhash.
+    */
+  private def duckBucketExpr(h: String): String =
+    s"(($h * $h) % 1000000007 * 31 + $h) % 1000000007 % 1000"
 
   /** DuckDB n-gram hash fold over a token-hash list `hs` — the general-n
     * twin of the engine's ngramHashCol: ((…(hs[i]·31+hs[i+1]) mod P)·31+…).
@@ -1287,11 +1302,25 @@ object SparkEntry {
       s"""WITH k AS (
          |  SELECT doc_id, lang, 'smp' || CAST(doc_id AS VARCHAR) AS sk
          |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, lang, ${duckPolyHash("sk")} % 1000 AS bucket FROM k)
+         |h0 AS (SELECT doc_id, lang, ${duckPolyHash("sk")} AS h FROM k),
+         |b AS (SELECT doc_id, lang, ${duckBucketExpr("h")} AS bucket FROM h0)
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 300
          |  ELSE 600 END""".stripMargin,
+
+    // rates restated in-SQL: (1000 * mn) // cnt is the same positive
+    // floor division as the engine's long arithmetic.
+    "sample_rebalance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT min(cnt) AS mn FROM c),
+         |r AS (SELECT lang, (1000 * mn) // cnt AS rate FROM c, m),
+         |k AS (
+         |  SELECT doc_id, lang, 'rbl' || CAST(doc_id AS VARCHAR) AS sk
+         |  FROM documents),
+         |h0 AS (SELECT doc_id, lang, ${duckPolyHash("sk")} AS h FROM k),
+         |b AS (SELECT doc_id, lang, ${duckBucketExpr("h")} AS bucket FROM h0)
+         |SELECT b.doc_id, b.lang, b.bucket FROM b
+         |JOIN r USING (lang) WHERE b.bucket < r.rate""".stripMargin,
 
     "source_cap" ->
       """WITH rk AS (

@@ -633,18 +633,58 @@ object TrainingDataOps {
     * eval-set split or a low-resource-language upsample needs. Per-row
     * work is one codegen PolyHash.
     */
+  /** Deterministic per-id sampling bucket in [0, 1000). The raw
+    * polynomial hash of salt ++ id is LINEAR in the id's trailing digit —
+    * consecutive ids land in consecutive buckets, so a stratum whose ids
+    * cluster gets systematic runs instead of a fair rate (measured 28
+    * kept of 64 expected on the sf fixture). The quadratic remix
+    * ((h² mod P)·31 + h) mod P breaks the linearity while staying
+    * engine-portable: h < P ≈ 1e9 so h² < 1e18 fits a long under ANSI,
+    * and the DuckDB twin is the same integer arithmetic.
+    */
+  private[graft] def samplingBucket(id: Column, salt: String): Column = {
+    import graft.expressions.PolyHashFunctions.polyHash
+    val h = polyHash(concat(lit(salt), id.cast("string")))
+    ((((h * h) % lit(P)) * 31 + h) % lit(P)) % lit(1000L)
+  }
+
   def stratifiedSample(
       docs: DataFrame, rates: Map[String, Int], defaultPermille: Int,
       strataCol: String = "lang", idCol: String = "doc_id",
       salt: String = "smp"): DataFrame = {
-    import graft.expressions.PolyHashFunctions.polyHash
-    val bucket = polyHash(concat(lit(salt), col(idCol).cast("string"))) % lit(1000L)
     // rates.toSeq.sortBy keeps the when-chain order deterministic (Map
     // iteration order must not change the plan)
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    docs.select(col(idCol), col(strataCol), bucket.as("bucket"))
+    docs.select(col(idCol), col(strataCol),
+        samplingBucket(col(idCol), salt).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Data-dependent stratum REBALANCING: downsample every stratum to the
+    * size of the smallest one (uniform target mix) — the two-phase shape
+    * a pipeline uses for language rebalancing: a stratum-bounded count
+    * pass picks the keep rates, then the filter itself is the same
+    * shuffle-free deterministic bucket rule as `stratifiedSample`.
+    * keep-rate_l = ⌊1000 · min_count / count_l⌋ permille, so the smallest
+    * stratum keeps everything. The driver-side collect is bounded by the
+    * stratum cardinality (languages); for high-cardinality strata
+    * (domains) swap the when-chain for a broadcast join on the rate
+    * table — the filter contract is unchanged.
+    */
+  def rebalanceSample(docs: DataFrame, strataCol: String = "lang",
+      idCol: String = "doc_id", salt: String = "rbl"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty)
+      return docs.select(col(idCol), col(strataCol))
+        .withColumn("bucket", lit(0L)).limit(0)
+    val minCnt = counts.map(_._2).min
+    val rate = counts.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, c)) =>
+      when(col(strataCol) === k, lit(1000L * minCnt / c)).otherwise(acc) }
+    docs.select(col(idCol), col(strataCol),
+        samplingBucket(col(idCol), salt).as("bucket"))
       .filter(col("bucket") < rate)
   }
 

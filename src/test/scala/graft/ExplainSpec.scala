@@ -92,11 +92,11 @@ class ExplainSpec extends SparkSpec {
   test("shuffle-free projections plan ZERO exchanges") {
     // the scan-speed operators' whole value is no shuffle; a regression
     // (an accidental repartition, a window, a join) fails here
-    // quality_logprob qualifies: its vocabulary pass runs eagerly at
-    // query-construction time, so the returned SCORING plan is a pure
-    // map-literal-lookup projection
+    // sample_rebalance/quality_logprob qualify: their count/vocab pass
+    // runs eagerly at query-construction time, so the returned plan is a
+    // pure projection+filter
     for (q <- Seq("text_repetition", "pii_redact", "sample_stratified",
-        "chunk_documents", "quality_logprob")) {
+        "chunk_documents", "quality_logprob", "sample_rebalance")) {
       assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
     }
   }
