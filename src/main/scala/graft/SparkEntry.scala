@@ -560,6 +560,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")))
     }),
 
+    // Token-budget quality selection: maximal (distinct-token-count desc,
+    // doc_id asc) prefix whose running token total fits 12000 tokens —
+    // histogram + threshold-bin plan, never a global sort.
+    "budget_select" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.budgetSelect(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        budgetTokens = 12000L)
+    }),
+
     // Per-source document cap (domain cap): at most 22 docs per source,
     // priority by ascending doc_id.
     "source_cap" -> ((s, dir) => {
@@ -1307,6 +1316,21 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 300
          |  ELSE 600 END""".stripMargin,
+
+    // The flat windowed-prefix restatement of the engine's histogram +
+    // threshold-bin plan: cum is monotone (n_tokens >= 1), so WHERE
+    // cum <= budget IS the maximal prefix before the first crossing.
+    "budget_select" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS score,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM dt WHERE len(toks) > 0),
+        |o AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM base)
+        |SELECT doc_id, score, n_tokens FROM o WHERE cum <= 12000""".stripMargin,
 
     // rates restated in-SQL: (1000 * mn) // cnt is the same positive
     // floor division as the engine's long arithmetic.

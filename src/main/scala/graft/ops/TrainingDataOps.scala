@@ -960,6 +960,60 @@ object TrainingDataOps {
           5).as("avg_neg_logp"))
   }
 
+  /** Token-BUDGET quality selection (data mixing under a training-token
+    * budget): keep the maximal prefix of documents in (score desc,
+    * doc_id asc) order whose running token total stays ≤ `budgetTokens`.
+    * Score is lexical diversity — the doc's DISTINCT-token count, an
+    * integer, so the order is exact on both engines. Zero-token docs are
+    * excluded (they carry no signal and no cost).
+    *
+    * Scale shape — the naive formulation is a GLOBAL sort + running sum
+    * (a single-partition window over the corpus; a scale killer). This
+    * runs in three bounded steps instead:
+    *  1. a (score → count, token-sum) histogram — one map-side-combinable
+    *     aggregate over score-cardinality keys (≤ max tokens per doc);
+    *  2. the driver walks the collected histogram desc to the threshold
+    *     bin where the budget first crosses (constant-bounded collect);
+    *  3. bins above the threshold keep everything (a shuffle-free
+    *     filter); ONLY the threshold bin — 1/|bins| of the data — pays a
+    *     sorted running-sum window for its partial prefix.
+    * The result equals the flat windowed prefix the oracle states.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative: $budgetTokens")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val base = docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        size(array_distinct(col("toks"))).cast("long").as("score"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val hist = base.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    // walk desc to the first bin whose inclusive total crosses the budget
+    var cum = 0L
+    var threshold = Long.MinValue // everything fits
+    var cumAbove = 0L
+    for ((score, t) <- hist if threshold == Long.MinValue) {
+      if (cum + t > budgetTokens) { threshold = score; cumAbove = cum }
+      else cum += t
+    }
+    if (threshold == Long.MinValue)
+      base.select(col(idCol), col("score"), col("n_tokens"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val partial = base.filter(col("score") === threshold)
+        .withColumn("cum", sum(col("n_tokens")).over(w) + cumAbove)
+        .filter(col("cum") <= budgetTokens)
+      base.filter(col("score") > threshold)
+        .select(col(idCol), col("score"), col("n_tokens"))
+        .unionAll(partial.select(col(idCol), col("score"), col("n_tokens")))
+    }
+  }
+
   /** Fixed-size overlapping token-window chunking (training-sequence
     * prep): chunk i covers token positions [i·stride, i·stride+chunkSize).
     * Chunks are emitted while the PREVIOUS chunk did not already reach the

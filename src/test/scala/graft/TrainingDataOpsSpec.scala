@@ -293,6 +293,29 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(kept >= 2350 && kept <= 2650, s"kept $kept of expected ~2500")
   }
 
+  test("budget select: threshold-bin plan equals the flat windowed prefix") {
+    val docs = Seq(
+      (0L, "a b c d"),        // score 4, tokens 4
+      (1L, "a b c a b c"),    // score 3, tokens 6
+      (2L, "x y z"),          // score 3, tokens 3
+      (3L, "p q"),            // score 2, tokens 2
+      (4L, ""))               // dropped
+      .toDF("doc_id", "text")
+    // order: (4,id0)(3,id1)(3,id2)(2,id3); cums 4,10,13,15
+    def ids(b: Long) = TrainingDataOps.budgetSelect(docs, b)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(15) == Seq(0L, 1L, 2L, 3L), "everything fits")
+    assert(ids(13) == Seq(0L, 1L, 2L), "crossing drops the tail bin")
+    // budget 9: doc1 (cum 10) crosses INSIDE bin 3 — doc2 must also be
+    // excluded even though 4+3 <= 9 (prefix, not knapsack)
+    assert(ids(9) == Seq(0L), "prefix semantics inside the threshold bin")
+    assert(ids(12) == Seq(0L, 1L), "partial threshold bin keeps its doc_id-prefix")
+    assert(ids(3) == Seq(), "budget under the top bin keeps nothing")
+    val out = TrainingDataOps.budgetSelect(docs, 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 6L)) && out(0L) == ((4L, 4L)), s"score/tokens: $out")
+  }
+
   test("source cap keeps the k lowest ids per source") {
     val docs = Seq(
       (5L, "a"), (1L, "a"), (3L, "a"), (2L, "b"), (9L, "b"))
