@@ -807,8 +807,8 @@ object SparkEntry {
   /** DuckDB twin of TrainingDataOps.samplingBucket's quadratic remix —
     * `h` must name a column holding the salted-id polyhash.
     */
-  private def duckBucketExpr(h: String): String =
-    s"(($h * $h) % 1000000007 * 31 + $h) % 1000000007 % 1000"
+  private def duckBucketExpr(h: String, buckets: Long = 1000L): String =
+    s"(($h * $h) % 1000000007 * 31 + $h) % 1000000007 % $buckets"
 
   /** DuckDB n-gram hash fold over a token-hash list `hs` — the general-n
     * twin of the engine's ngramHashCol: ((…(hs[i]·31+hs[i+1]) mod P)·31+…).
@@ -1332,17 +1332,20 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM base)
         |SELECT doc_id, score, n_tokens FROM o WHERE cum <= 12000""".stripMargin,
 
-    // rates restated in-SQL: (1000 * mn) // cnt is the same positive
-    // floor division as the engine's long arithmetic.
+    // ppm rates restated in-SQL: greatest(1, (1000000*mn) // cnt) is the
+    // same positive floor division + floor-of-1 as the engine's long
+    // arithmetic; the USING join drops NULL langs like the engine's
+    // isNotNull filter.
     "sample_rebalance" ->
       s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
          |m AS (SELECT min(cnt) AS mn FROM c),
-         |r AS (SELECT lang, (1000 * mn) // cnt AS rate FROM c, m),
+         |r AS (SELECT lang, greatest(1, (1000000 * mn) // cnt) AS rate FROM c, m),
          |k AS (
          |  SELECT doc_id, lang, 'rbl' || CAST(doc_id AS VARCHAR) AS sk
          |  FROM documents),
          |h0 AS (SELECT doc_id, lang, ${duckPolyHash("sk")} AS h FROM k),
-         |b AS (SELECT doc_id, lang, ${duckBucketExpr("h")} AS bucket FROM h0)
+         |b AS (SELECT doc_id, lang,
+         |        ${duckBucketExpr("h", 1000000L)} AS bucket FROM h0)
          |SELECT b.doc_id, b.lang, b.bucket FROM b
          |JOIN r USING (lang) WHERE b.bucket < r.rate""".stripMargin,
 
@@ -1400,9 +1403,7 @@ object SparkEntry {
       s"""WITH th AS (
          |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
          |g AS (
-         |  SELECT doc_id, list_transform(range(1, len(hs) - 1), i ->
-         |      ((hs[i]*31 + hs[i+1]) % 1000000007 * 31 + hs[i+2]) % 1000000007)
-         |    AS grams
+         |  SELECT doc_id, ${duckGramExpr(3)} AS grams
          |  FROM th)
          |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
          |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
@@ -1415,9 +1416,7 @@ object SparkEntry {
       s"""WITH th AS (
          |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
          |g AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 1), i ->
-         |      ((hs[i]*31 + hs[i+1]) % 1000000007 * 31 + hs[i+2]) % 1000000007))
-         |    AS grams
+         |  SELECT doc_id, list_distinct(${duckGramExpr(3)}) AS grams
          |  FROM th),
          |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
          |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),

@@ -624,16 +624,7 @@ object TrainingDataOps {
       .select(col("lang_guess"), col("rnk"), col("token"), col("cnt"))
   }
 
-  /** Deterministic stratified hash-rate sampling — the shuffle-FREE
-    * corpus sampling primitive: a document survives iff
-    * polyhash(salt ++ doc_id) mod 1000 < rate_permille(stratum). Pure
-    * scan + filter (no shuffle, no sort, no state), so it runs at scan
-    * speed on 100 TB and composes with partition pruning; the same
-    * (salt, rates) always selects the same documents, which is what an
-    * eval-set split or a low-resource-language upsample needs. Per-row
-    * work is one codegen PolyHash.
-    */
-  /** Deterministic per-id sampling bucket in [0, 1000). The raw
+  /** Deterministic per-id sampling bucket in [0, buckets). The raw
     * polynomial hash of salt ++ id is LINEAR in the id's trailing digit —
     * consecutive ids land in consecutive buckets, so a stratum whose ids
     * cluster gets systematic runs instead of a fair rate (measured 28
@@ -642,12 +633,22 @@ object TrainingDataOps {
     * engine-portable: h < P ≈ 1e9 so h² < 1e18 fits a long under ANSI,
     * and the DuckDB twin is the same integer arithmetic.
     */
-  private[graft] def samplingBucket(id: Column, salt: String): Column = {
+  private[graft] def samplingBucket(id: Column, salt: String,
+      buckets: Long = 1000L): Column = {
     import graft.expressions.PolyHashFunctions.polyHash
     val h = polyHash(concat(lit(salt), id.cast("string")))
-    ((((h * h) % lit(P)) * 31 + h) % lit(P)) % lit(1000L)
+    ((((h * h) % lit(P)) * 31 + h) % lit(P)) % lit(buckets)
   }
 
+  /** Deterministic stratified hash-rate sampling — the shuffle-FREE
+    * corpus sampling primitive: a document survives iff its sampling
+    * bucket (quadratic remix of polyhash(salt ++ doc_id), mod 1000) <
+    * rate_permille(stratum). Pure scan + filter (no shuffle, no sort, no
+    * state), so it runs at scan speed on 100 TB and composes with
+    * partition pruning; the same (salt, rates) always selects the same
+    * documents, which is what an eval-set split or a low-resource-
+    * language upsample needs. Per-row work is one codegen PolyHash.
+    */
   def stratifiedSample(
       docs: DataFrame, rates: Map[String, Int], defaultPermille: Int,
       strataCol: String = "lang", idCol: String = "doc_id",
@@ -666,25 +667,32 @@ object TrainingDataOps {
     * size of the smallest one (uniform target mix) — the two-phase shape
     * a pipeline uses for language rebalancing: a stratum-bounded count
     * pass picks the keep rates, then the filter itself is the same
-    * shuffle-free deterministic bucket rule as `stratifiedSample`.
-    * keep-rate_l = ⌊1000 · min_count / count_l⌋ permille, so the smallest
-    * stratum keeps everything. The driver-side collect is bounded by the
-    * stratum cardinality (languages); for high-cardinality strata
+    * shuffle-free deterministic bucket rule as `stratifiedSample`, at
+    * parts-per-MILLION resolution: keep-rate_l = max(1, ⌊10⁶ · min_count
+    * / count_l⌋) ppm, so the smallest stratum keeps everything and a
+    * web-scale skew (en : low-resource routinely > 1000:1) still
+    * downsamples the giant stratum to ≈ min_count instead of emptying it
+    * (permille resolution floors a >1000:1 rate to zero); beyond 10⁶:1
+    * the floor of 1 ppm keeps ≈ count/10⁶. NULL strata are dropped —
+    * they define no rebalance target. The driver-side collect is bounded
+    * by the stratum cardinality (languages); for high-cardinality strata
     * (domains) swap the when-chain for a broadcast join on the rate
     * table — the filter contract is unchanged.
     */
   def rebalanceSample(docs: DataFrame, strataCol: String = "lang",
       idCol: String = "doc_id", salt: String = "rbl"): DataFrame = {
-    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("cnt"))
+    val clean = docs.filter(col(strataCol).isNotNull)
+    val counts = clean.groupBy(col(strataCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     if (counts.isEmpty)
-      return docs.select(col(idCol), col(strataCol))
+      return clean.select(col(idCol), col(strataCol))
         .withColumn("bucket", lit(0L)).limit(0)
     val minCnt = counts.map(_._2).min
     val rate = counts.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, c)) =>
-      when(col(strataCol) === k, lit(1000L * minCnt / c)).otherwise(acc) }
-    docs.select(col(idCol), col(strataCol),
-        samplingBucket(col(idCol), salt).as("bucket"))
+      when(col(strataCol) === k,
+        lit(math.max(1L, 1000000L * minCnt / c))).otherwise(acc) }
+    clean.select(col(idCol), col(strataCol),
+        samplingBucket(col(idCol), salt, buckets = 1000000L).as("bucket"))
       .filter(col("bucket") < rate)
   }
 
@@ -937,10 +945,10 @@ object TrainingDataOps {
       .filter(col("token") =!= "")
     val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val totRow = cnt.agg(sum(col("cnt"))).head()
-    val empty = docs.sparkSession.emptyDataFrame
-      .select(lit(0L).as(idCol), lit(0L).as("n_tokens"),
+    // empty-corpus shape follows the input's id type (not a hardcoded long)
+    if (totRow.isNullAt(0))
+      return docs.select(col(idCol), lit(0L).as("n_tokens"),
         lit(0.0).as("avg_neg_logp")).limit(0)
-    if (totRow.isNullAt(0)) return empty
     val nTotal = totRow.getLong(0)
     val vocab = cnt.orderBy(col("cnt").desc, col("token").asc)
       .limit(vocabSize).collect()
@@ -983,11 +991,16 @@ object TrainingDataOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budgetTokens >= 0, s"budget must be non-negative: $budgetTokens")
     val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // persisted: the histogram job materializes the (id, score, tokens)
+    // projection once; the two result branches reuse it instead of
+    // re-tokenizing the corpus (3 scans -> 1). Session-lifetime cache,
+    // same contract as the shingle/cluster caches.
     val base = docs.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col(idCol),
         size(array_distinct(col("toks"))).cast("long").as("score"),
         size(col("toks")).cast("long").as("n_tokens"))
+      .persist()
     val hist = base.groupBy(col("score"))
       .agg(sum(col("n_tokens")).as("toks")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)

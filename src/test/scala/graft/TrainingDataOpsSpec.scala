@@ -264,7 +264,7 @@ class TrainingDataOpsSpec extends SparkSpec {
   }
 
   test("rebalance sampling: strata converge to the smallest, min stratum fully kept, deterministic") {
-    // 2000/500/100 docs: rates 50/200/1000 permille, target ~100 each
+    // 2000/500/100 docs: rates 50k/200k/1000k ppm, target ~100 each
     val docs = ((0L until 2000L).map(i => (i, "en")) ++
       (2000L until 2500L).map(i => (i, "de")) ++
       (2500L until 2600L).map(i => (i, "fr")))
