@@ -560,6 +560,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")))
     }),
 
+    // Model-based quality classifier plumbing: hashing-trick linear
+    // logit over a 64-dim broadcast weight table (deterministic
+    // placeholder weights — the plumbing is the deliverable).
+    "quality_classifier" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.hashQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), dim = 64)
+    }),
+
     // Token-budget quality selection: maximal (distinct-token-count desc,
     // doc_id asc) prefix whose running token total fits 12000 tokens —
     // histogram + threshold-bin plan, never a global sort.
@@ -1316,6 +1324,22 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 300
          |  ELSE 600 END""".stripMargin,
+
+    // The weight formula is computed INLINE from the feature index (the
+    // engine broadcasts the same values as an array literal): identical
+    // integer arithmetic -> identical doubles -> identical token-order
+    // fold, so the unrounded keep comparison agrees exactly.
+    "quality_classifier" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(hs, h ->
+         |      (((h % 64) * 2654435761 + 123) % 1997) / 1997.0 - 0.5)) AS s,
+         |    len(hs) AS n
+         |  FROM th)
+         |SELECT doc_id, round(s / n, 6) AS logit, s / n >= 0 AS keep
+         |FROM sc""".stripMargin,
 
     // The flat windowed-prefix restatement of the engine's histogram +
     // threshold-bin plan: cum is monotone (n_tokens >= 1), so WHERE

@@ -968,6 +968,36 @@ object TrainingDataOps {
           5).as("avg_neg_logp"))
   }
 
+  /** Model-based quality classification PLUMBING (the fasttext-style
+    * hashing trick): feature index = token polyhash mod `dim`, logit =
+    * mean feature weight, keep = logit ≥ 0. The WEIGHT TABLE here is a
+    * deterministic placeholder (((j·2654435761+123) mod 1997)/1997 − ½)
+    * standing in for trained parameters — the sandbox carries no model
+    * artifacts (same honesty contract as the multimodal decode stub).
+    * The engine-side plumbing is the deliverable: weights ship as a
+    * broadcast array literal, scoring is a shuffle-free token-order fold
+    * over the codegen token-hash array, and the fold sequence is
+    * identical on both engines so the keep decision at the boundary is
+    * exact. Swap the literal for a loaded weight vector at deployment —
+    * the plan shape is unchanged at any corpus size or dim (a 10⁶-dim
+    * table rides the same broadcast).
+    */
+  def hashQualityScore(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val w = Array.tabulate(dim)(j =>
+      ((j * 2654435761L + 123L) % 1997L).toDouble / 1997.0 - 0.5)
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    docs.select(col(idCol), tokenPolyHashes(col(textCol)).as("hs"))
+      .select(col(idCol),
+        (aggregate(col("hs"), lit(0.0),
+          (acc, h) => acc + element_at(wLit, (h % dim).cast("int") + 1))
+          / size(col("hs"))).as("raw"))
+      .select(col(idCol), round(col("raw"), 6).as("logit"),
+        (col("raw") >= 0).as("keep"))
+  }
+
   /** Token-BUDGET quality selection (data mixing under a training-token
     * budget): keep the maximal prefix of documents in (score desc,
     * doc_id asc) order whose running token total stays ≤ `budgetTokens`.

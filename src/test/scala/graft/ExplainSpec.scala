@@ -96,7 +96,8 @@ class ExplainSpec extends SparkSpec {
     // runs eagerly at query-construction time, so the returned plan is a
     // pure projection+filter
     for (q <- Seq("text_repetition", "pii_redact", "sample_stratified",
-        "chunk_documents", "quality_logprob", "sample_rebalance")) {
+        "chunk_documents", "quality_logprob", "sample_rebalance",
+        "quality_classifier")) {
       assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
     }
   }

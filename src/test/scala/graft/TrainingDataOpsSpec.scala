@@ -293,6 +293,26 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(kept >= 2350 && kept <= 2650, s"kept $kept of expected ~2500")
   }
 
+  test("hash quality classifier: dim-1 collapses to the known weight; deterministic and bounded") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"), (2L, "x"))
+      .toDF("doc_id", "text")
+    // dim = 1: every token hits w(0) = 123/1997 - 0.5, so every logit is
+    // exactly that value regardless of content
+    val w0 = 123.0 / 1997.0 - 0.5
+    val one = TrainingDataOps.hashQualityScore(docs, dim = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val exp = math.rint(w0 * 1e6) / 1e6
+    assert(one.values.forall { case (l, k) => l == exp && !k },
+      s"dim-1 logit = w0 for every doc: $one vs $exp")
+    // dim = 64: identical text => identical score; logit stays in [-1/2, 1/2]
+    val out = TrainingDataOps.hashQualityScore(docs, dim = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(0L) == out(1L), s"same text, same score: $out")
+    assert(out.values.forall { case (l, k) =>
+      l >= -0.5 && l <= 0.5 && k == (l >= 0) }, s"bounded + keep-consistent: $out")
+  }
+
   test("budget select: threshold-bin plan equals the flat windowed prefix") {
     val docs = Seq(
       (0L, "a b c d"),        // score 4, tokens 4
