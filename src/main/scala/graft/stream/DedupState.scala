@@ -233,6 +233,75 @@ object DedupState {
     deduped.drop("__h1", "__h2")
   }
 
+  /** Streaming cross-batch NEAR-duplicate suppression (LSH, MinHash
+    * bands) composed from BUILT-IN stateful operators only — no custom
+    * state function:
+    *
+    *   1. 4 MinHash band keys per row (TrainingDataOps' 8 signatures,
+    *      pure codegen projection) → explode to (band, sig_a, sig_b);
+    *   2. `dropDuplicatesWithinWatermark(band, sig_a, sig_b)` — state is
+    *      one fixed-width key per distinct band bucket in the watermark
+    *      horizon, and each bucket's FIRST arrival survives;
+    *   3. a windowed count of surviving band rows per original row:
+    *      keep iff all 4 bands survived, i.e. NO earlier in-horizon row
+    *      was LSH-similar (the standard any-band match rule: recall
+    *      1−(1−j²)⁴ for Jaccard j; false-positive ≈ an independent
+    *      sig-PAIR collision, negligible at P ≈ 10⁹).
+    *
+    * The two stateful stages chain in append mode (dedup → windowed agg
+    * is a supported multi-stateful topology; output lags one `slice`
+    * window behind the watermark). Arrival order among equal buckets
+    * inside ONE micro-batch is partition order — the same tie-break
+    * caveat `dropDuplicates` itself has; across batches first-arrival is
+    * exact. On a BATCH frame the same function degenerates to
+    * min-(ts, conv_id, turn_idx)-per-bucket — the deterministic
+    * reference the stream≡batch test compares against.
+    *
+    * Scale shape: state is 4 fixed-width keys per UNIQUE in-horizon row
+    * (near-dups add nothing), hash-spread over all partitions by the
+    * band-bucket shuffle; the windowed count shuffles the surviving
+    * rows once more on row identity. Both stages are watermark-bounded.
+    */
+  def nearDupRows(df: DataFrame, windowSlice: String = "60 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    val P = graft.ops.TrainingDataOps.P
+    val A = graft.ops.TrainingDataOps.MinhashA
+    val B = graft.ops.TrainingDataOps.MinhashB
+    def sig(j: Int) =
+      expr(s"array_min(transform(__hs, h -> (${A(j)} * h + ${B(j)}) % ${P}L))")
+    val bands = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        sig(2 * b).as("sig_a"), sig(2 * b + 1).as("sig_b"))
+    }: _*)
+    val exploded = df
+      .withColumn("__hs", tokenPolyHashes(col("text")))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"),
+        explode(bands).as("bb"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"),
+        col("bb.band").as("band"),
+        col("bb.sig_a").as("sig_a"), col("bb.sig_b").as("sig_b"))
+    val survivors =
+      if (df.isStreaming)
+        exploded.dropDuplicatesWithinWatermark("band", "sig_a", "sig_b")
+      else {
+        // batch reference: first arrival = min (ts, conv_id, turn_idx)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("band"), col("sig_a"), col("sig_b"))
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+        exploded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    // the raw ts column cannot stay in the grouping keys next to the
+    // window (two event-time columns); min(ts) restores it after the agg
+    survivors
+      .groupBy(window(col("ts"), windowSlice), col("conv_id"), col("turn_idx"),
+        col("text"))
+      .agg(count(lit(1)).as("__bands"), min(col("ts")).as("ts"))
+      .filter(col("__bands") === 4)
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+  }
+
   /** Append-mode dedup stage. Input must already carry an event-time
     * watermark on `ts` (for state expiry and late-row drop).
     *

@@ -118,6 +118,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == base.count() + 1)
   }
 
+  test("streaming near-dup suppression equals the batch LSH reference across micro-batches") {
+    // near/exact-dup families planted ACROSS files; a far-future sentinel
+    // file closes all windows (append agg emits on watermark passage)
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def turn(conv: String, text: String, sec: Long) =
+      Turn(conv, 0, "user", text, "", new java.sql.Timestamp(t0.getTime + sec * 1000L))
+    val f0 = Seq(
+      turn("c0", "the quick brown fox jumps over the lazy dog near the river", 0),
+      turn("c1", "completely different content about distributed query engines", 10))
+    val f1 = Seq(
+      turn("c2", "the quick brown fox jumps over the lazy dog near the stream", 70),
+      turn("c3", "unrelated third topic entirely about cooking pasta at home", 80))
+    val f2 = Seq(
+      turn("c4", "the quick brown fox jumps over the lazy dog near the river", 130),
+      turn("c5", "completely different content about distributed query engines", 140))
+    val sentinel = Seq(turn("c9", "sentinel far future row advancing the watermark", 100000L))
+    val src = tmp("neardup-src")
+    writeBatches(src, Seq(f0.toDF, f1.toDF, f2.toDF, sentinel.toDF))
+    val out = runFileStream(src, tmp("neardup-ck"),
+      ds => DedupState.nearDupRows(ds.toDF), "neardup_out",
+      watermarkDelay = "1 minute")
+    val ref = DedupState.nearDupRows((f0 ++ f1 ++ f2 ++ sentinel).toDF)
+    // the sentinel's own window never closes in the stream — compare the rest
+    val outC = out.filter(col("conv_id") =!= "c9")
+    val refC = ref.filter(col("conv_id") =!= "c9")
+    assert(outC.exceptAll(refC).count() == 0 && refC.exceptAll(outC).count() == 0,
+      s"stream != batch reference: stream=${outC.collect().toSeq} batch=${refC.collect().toSeq}")
+    val kept = refC.select("conv_id").collect().map(_.getString(0)).toSet
+    assert(kept("c0") && kept("c1") && kept("c3"), s"firsts + unrelated kept: $kept")
+    assert(!kept("c4") && !kept("c5"), s"cross-batch exact dups suppressed: $kept")
+  }
+
   test("quality windows land in the audit sink and merge to the batch aggregation") {
     import graft.validate.Validator
     val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 34,
