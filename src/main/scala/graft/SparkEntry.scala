@@ -647,6 +647,39 @@ object SparkEntry {
         chunkSize = 30, stride = 22)
     }),
 
+    // Winnowing fingerprints (MOSS): token-3-gram hashes, window-of-4
+    // minima, distinct set per doc -> count / min / canonical digest.
+    "winnow_fingerprint" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.winnowFingerprints(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        k = 3, w = 4)
+    }),
+
+    // Cross-corpus near-dedup: even doc_ids play the already-trained
+    // reference snapshot, odd ids the new crawl; verified (new, ref)
+    // matches at trigram Jaccard >= 0.8 form the new crawl's drop list.
+    "cross_dedup_verified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.TrainingDataOps.crossCorpusNearDups(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        threshold = 0.8)
+    }),
+
+    // GPT-style sequence packing: concatenate per hash-bucket stream,
+    // cut into 256-token blocks; per-doc block span + offset.
+    "pack_blocks" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.packBlocks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        blockTokens = 256, buckets = 32)
+    }),
+
+    // Per-doc top-3 TF-IDF terms, integer micro-nat idf ranking.
+    "tfidf_top_terms" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.tfidfTopTerms(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), k = 3)
+    }),
+
     // PII redaction: email -> ssn -> phone rule order, all matches.
     "pii_redact" -> ((s, dir) => {
       graft.ops.TrainingDataOps.piiRedact(
@@ -1515,6 +1548,113 @@ object SparkEntry {
          |    '$piiSsnRe', '[SSN]', 'g'),
          |    '$piiPhoneRe', '[PHONE]', 'g') AS redacted
          |FROM documents""".stripMargin,
+
+    // winnowing: 3-gram hashes, window-of-4 minima, distinct sorted set.
+    // range(1, len-2) is naturally empty for < 4 grams (< 6 tokens),
+    // mirroring the engine's typed-empty when-guard; gs[i:i+3] is the
+    // 1-based INCLUSIVE DuckDB slice = Spark slice(gs, i+1, 4).
+    "winnow_fingerprint" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |g AS (SELECT doc_id, ${duckGramExpr(3)} AS gs FROM h),
+         |f AS (SELECT doc_id, list_sort(list_distinct(
+         |        list_transform(range(1, len(gs) - 2), i ->
+         |          list_min(gs[i:i+3])))) AS fps
+         |      FROM g)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  COALESCE(fps[1], CAST(-1 AS BIGINT)) AS fp_min,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_digest
+         |FROM f""".stripMargin,
+
+    // cross-corpus near-dedup: ref = even doc_ids, new = odd; band
+    // buckets per side (ref side capped at 64 like the intra-corpus
+    // LSH), verified at trigram Jaccard >= 0.8.
+    "cross_dedup_verified" -> {
+      val sigs = graft.ops.TrainingDataOps.MinhashA
+        .zip(graft.ops.TrainingDataOps.MinhashB).zipWithIndex.map {
+          case ((a, b), j) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007)) AS sig_$j"
+        }.mkString(",\n ")
+      s"""WITH hs AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sigs FROM hs),
+         |buckets AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band
+         |      WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR)
+         |      WHEN 1 THEN CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR)
+         |      WHEN 2 THEN CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR)
+         |      ELSE CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR)
+         |    END AS bucket
+         |  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+         |refb AS (
+         |  SELECT band, bucket FROM buckets WHERE doc_id % 2 = 0
+         |  GROUP BY band, bucket HAVING count(*) <= 64),
+         |pairs AS (
+         |  SELECT DISTINCT n.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM buckets n
+         |  JOIN buckets r ON n.band = r.band AND n.bucket = r.bucket
+         |  JOIN refb ON refb.band = n.band AND refb.bucket = n.bucket
+         |  WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 1), i ->
+         |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         |    ELSE [] END AS sh
+         |  FROM toks),
+         |j AS (
+         |  SELECT p.id_a, p.id_b,
+         |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.sh, b.sh))) END, 5) AS jaccard
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+    },
+
+    // sequence packing: per-bucket running token sum -> 256-token block
+    // span + offset; SUM() OVER in DuckDB widens to HUGEINT, hence the
+    // BIGINT casts on every derived output.
+    "pack_blocks" -> {
+      val h = duckPolyHash("'pack' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT doc_id, ${duckBucketExpr(s"($h)", 32L)} AS bucket,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tok,
+         |  CAST(cum_before // 256 AS BIGINT) AS block_first,
+         |  CAST((cum_before + n_tok - 1) // 256 AS BIGINT) AS block_last,
+         |  CAST(cum_before % 256 AS BIGINT) AS block_offset
+         |FROM c""".stripMargin
+    },
+
+    // tf-idf top-3 per doc; idf banked to integer micro-nats BEFORE the
+    // tf multiply so the ranking key is integer-exact on both engines.
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |        tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+        |          AS BIGINT) AS score
+        |      FROM tf JOIN df USING (tok), n)
+        |SELECT doc_id, tok, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS rk FROM s)
+        |WHERE rk <= 3 AND score > 0""".stripMargin,
 
     "quality_token_quantiles" ->
       s"""WITH $duckLangCtes,

@@ -1132,4 +1132,163 @@ object TrainingDataOps {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide a
+    * window of `w` consecutive gram hashes over the document, keep the
+    * MINIMUM of each window, and emit the distinct selected values as the
+    * document's fingerprint set. Guarantees: any shared token run of
+    * length ≥ k + w − 1 between two documents produces at least one
+    * shared fingerprint, while only ~2/(w+1) of all grams are retained —
+    * the standard local-sampling dedup primitive between "hash
+    * everything" (n-gram index) and "hash once" (MinHash).
+    *
+    * Because the minimum of a window is a VALUE (not a position), the
+    * distinct-minima set is tie-order independent, which keeps the DuckDB
+    * oracle a direct restatement. Scale shape: pure per-row projection
+    * over the codegen token-hash array — no shuffle, no join; the
+    * fingerprint set is O(len/w) per document. Output per doc: the
+    * fingerprint count, the smallest fingerprint, and an order-canonical
+    * digest of the sorted set (fold (acc·31 + fp) mod P).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    val grams = docs
+      .select(col(idCol), tokenPolyHashes(col(textCol)).as("hs"))
+      .select(col(idCol), ngramHashCol(col("hs"), k).as("gs"))
+    // sequence(0, negative) would DESCEND (round-1 ADVICE edge): guard
+    // short documents to a typed empty set before windowing.
+    val minima = transform(
+      sequence(lit(0), size(col("gs")) - w),
+      i => array_min(slice(col("gs"), i + 1, lit(w))))
+    grams
+      .select(col(idCol),
+        when(size(col("gs")) >= w, array_sort(array_distinct(minima)))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+      .select(col(idCol),
+        size(col("fps")).cast("long").as("n_fp"),
+        when(size(col("fps")) > 0, element_at(col("fps"), 1))
+          .otherwise(lit(-1L)).as("fp_min"),
+        expr(s"aggregate(fps, 0L, (acc, x) -> (acc * 31 + x) % ${P}L)")
+          .as("fp_digest"))
+  }
+
+  /** Cross-corpus near-duplicate detection — dedup of a NEW crawl
+    * against an already-trained reference corpus (the other half of
+    * decontamination: contaminationCheck guards the eval set, this
+    * guards against re-training on what a previous snapshot already
+    * contains). MinHash band buckets are built per side; a new document
+    * becomes a candidate iff it shares any band bucket with a reference
+    * document, and candidates are verified with exact token-3-gram
+    * Jaccard. Returns the verified (new, ref, jaccard) matches — the
+    * "drop list" a pipeline anti-joins against the new corpus.
+    *
+    * Scale shape: the reference side is banded ONCE (in production,
+    * persisted next to the snapshot) and grouped per (band, bucket) with
+    * the same bucket cap as the intra-corpus LSH — a degenerate bucket
+    * (boilerplate shared by everything) never explodes the candidate
+    * join. The new corpus is never self-joined; candidates shuffle on
+    * the band-bucket key only and verification touches candidates only.
+    * Id spaces of the two corpora must be disjoint (caller's contract;
+    * the shingle verify unions both sides under one id column).
+    */
+  def crossCorpusNearDups(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 64, threshold: Double = 0.8): DataFrame = {
+    def bands(df: DataFrame): DataFrame = {
+      val sigs = minhashSignatures(df.select(col(idCol), col(textCol)), textCol)
+      val bb = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bucket"))
+      }
+      sigs.select(col(idCol), explode(array(bb: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val refBuckets = bands(refDocs)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ref_ids"))
+      .filter(size(col("ref_ids")) <= maxBucketSize)
+    val pairs = bands(newDocs)
+      .join(refBuckets, Seq("band", "bucket"))
+      .select(col(idCol).as("id_a"), explode(col("ref_ids")).as("id_b"))
+      .distinct()
+    ngramJaccard(
+      newDocs.select(col(idCol), col(textCol))
+        .unionByName(refDocs.select(col(idCol), col(textCol))),
+      pairs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** GPT-style training-sequence construction: concatenate documents in
+    * a deterministic order and cut the token stream into fixed-length
+    * blocks of `blockTokens`, reporting for every document the block
+    * span it lands in ([block_first, block_last]) and its token offset
+    * inside the first block. A document crossing a block boundary is
+    * SPLIT across blocks — the standard pretraining packing that wastes
+    * zero pad tokens.
+    *
+    * Scale shape: a global concatenation order would serialize the whole
+    * corpus through one sort, so the stream is sharded into `buckets`
+    * independent hash buckets (quadratic-remix samplingBucket — fair
+    * even under clustered ids) and each bucket packs its own block
+    * sequence in parallel: the only ordering is a per-bucket window over
+    * (bucket, id), i.e. one shuffle into `buckets`-way partitions, no
+    * global sort. Block ids are therefore (bucket, block) pairs — at
+    * 1000 executors each bucket's running sum is partition-local work.
+    */
+  def packBlocks(docs: DataFrame, blockTokens: Int = 256,
+      buckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text", salt: String = "pack"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(blockTokens.toLong)
+    docs
+      .select(col(idCol),
+        samplingBucket(col(idCol), salt, buckets).as("bucket"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(idCol), col("bucket"), col("n_tok"),
+        // Column./ is fractional division (CLAUDE.md gotcha): floor+cast
+        // restores integer block arithmetic on non-negative operands.
+        floor(col("cum_before") / L).cast("long").as("block_first"),
+        floor((col("cum_before") + col("n_tok") - 1) / L).cast("long")
+          .as("block_last"),
+        pmod(col("cum_before"), L).as("block_offset"))
+  }
+
+  /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    * feature op. The idf is banked to INTEGER micro-nats
+    * (floor(ln(N/df)·10⁶)) before the tf multiply so the ranking key
+    * `score = tf · idf_micro` is integer-exact on both engines — a raw
+    * double product can flip equal-score ranks in the last ulp across
+    * libm implementations. Ties break on the term itself.
+    *
+    * Scale shape: tf is one map-side-combinable aggregate over exploded
+    * tokens; df aggregates the tf table (already one row per (doc,term))
+    * so the corpus is tokenized ONCE; the df join shuffles on the term
+    * key (vocabulary-sized, not corpus-sized) and the top-k window
+    * partitions per document. The corpus row count enters as a broadcast
+    * one-row aggregate, not a driver-side collect.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * floor(log(col("__n").cast("double") / col("df"))
+          * 1000000d).cast("long"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("tok"))))
+      .filter(col("rk") <= k && col("score") > 0)
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("score"))
+  }
 }

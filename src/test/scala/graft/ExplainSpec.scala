@@ -97,9 +97,23 @@ class ExplainSpec extends SparkSpec {
     // pure projection+filter
     for (q <- Seq("text_repetition", "pii_redact", "sample_stratified",
         "chunk_documents", "quality_logprob", "sample_rebalance",
-        "quality_classifier")) {
+        "quality_classifier", "winnow_fingerprint")) {
       assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
     }
+  }
+
+  test("pack_blocks: one bucket-key shuffle, no global sort") {
+    val p = plan("pack_blocks")
+    assert(!p.contains("rangepartitioning"),
+      s"packing must never globally sort the corpus: $p")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"pack_blocks needs exactly the bucket-hash exchange: $p")
+  }
+
+  test("tfidf_top_terms: corpus row count broadcasts, never a cross shuffle") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row corpus count must broadcast: $p")
   }
 
   test("contamination_check: eval gram set broadcasts; training side never sort-merge-joins on grams") {

@@ -552,4 +552,124 @@ class TrainingDataOpsSpec extends SparkSpec {
       ("en", 1L, "qq", 4L), ("en", 2L, "xx", 3L), ("en", 3L, "yy", 3L)),
       s"got ${out.toSeq}")
   }
+
+  // --- winnowing fingerprints ------------------------------------------
+
+  private val P = 1000000007L
+  private def ph(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+  /** Driver-side winnowing ground truth — same k=3 grams, w=4 minima. */
+  private def winnowExpected(text: String): (Long, Long, Long) = {
+    val hs = text.split(" ", -1).map(ph)
+    val gs = (0 to hs.length - 3).map(i =>
+      ((hs(i) * 31 + hs(i + 1)) % P * 31 + hs(i + 2)) % P)
+    val fps =
+      if (gs.length < 4) Seq.empty[Long]
+      else (0 to gs.length - 4).map(i => gs.slice(i, i + 4).min).distinct.sorted
+    (fps.length.toLong, fps.headOption.getOrElse(-1L),
+      fps.foldLeft(0L)((a, x) => (a * 31 + x) % P))
+  }
+
+  test("winnowing: matches a driver-side ground truth; dups collide; short docs empty") {
+    val docs = base.union(Seq(
+      (7L, "only five tokens right here")).toDF("doc_id", "text"))
+    val out = TrainingDataOps.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(out(id) == winnowExpected(text), s"doc $id winnow mismatch")
+    }
+    assert(out(0L) == out(6L), "exact dup ⇒ identical fingerprint summary")
+    assert(out(7L) == ((0L, -1L, 0L)), "5-token doc has no 4-gram window")
+    // near-dups share fingerprints (the ≥ k+w−1 shared-run guarantee):
+    // docs 0/1 differ only in the last token, so the digests differ but
+    // the min fingerprint (selected from the long shared prefix) agrees.
+    assert(out(0L)._2 == out(1L)._2, "near-dup shares the min fingerprint")
+  }
+
+  // --- cross-corpus near-dedup -----------------------------------------
+
+  test("cross-corpus near-dups: new-vs-ref matches verified, intra-corpus pairs ignored") {
+    val ref = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (2L, "completely different content about distributed query engines and shuffle planning"),
+      (4L, "le chat est une belle créature et la maison est grande mais pas que petite"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of ref 0
+      (102L, "the quick brown fox jumps over the lazy dog near the old river bank today"),   // exact dup of ref 0
+      (103L, "an entirely fresh document with no counterpart in the reference corpus at all"),
+      (104L, "an entirely fresh document with no counterpart in the reference corpus at most")) // near-dup of 103 — INTRA-new
+      .toDF("doc_id", "text")
+    val hits = TrainingDataOps.crossCorpusNearDups(newDocs, ref, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = hits.map(h => (h._1, h._2) -> h._3).toMap
+    assert(byPair.get((102L, 0L)).contains(1.0), s"exact dup verified at 1.0: $byPair")
+    assert(byPair.contains((101L, 0L)) && byPair((101L, 0L)) >= 0.8,
+      s"near-dup verified above threshold: $byPair")
+    assert(!hits.exists(h => h._1 == 103L || h._1 == 104L),
+      "intra-new near-dup pair must NOT appear in the cross drop list")
+    assert(hits.forall(h => h._1 > 100L && h._2 < 100L),
+      "pairs are always (new, ref)")
+  }
+
+  // --- sequence packing -------------------------------------------------
+
+  test("pack blocks: per-bucket running sums, block spans and offsets are exact") {
+    val docs = (0L until 60L).map { id =>
+      (id, Seq.fill((id % 7L).toInt + 1)("t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val L = 8
+    val out = TrainingDataOps.packBlocks(docs, blockTokens = L, buckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 60, "every document is packed exactly once")
+    out.groupBy(_._2).foreach { case (bucket, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach {
+        case (id, _, nTok, first, last, off) =>
+          assert(nTok == (id % 7L) + 1, s"doc $id token count")
+          assert(first == cum / L, s"doc $id block_first in bucket $bucket")
+          assert(last == (cum + nTok - 1) / L, s"doc $id block_last")
+          assert(off == cum % L, s"doc $id block_offset")
+          cum += nTok
+      }
+      // the bucket's stream fills blocks contiguously: the last block
+      // index equals the total token count's block, wasting zero pads
+      assert(rows.map(_._5).max == (cum - 1) / L,
+        s"bucket $bucket final block is the ceiling of its token total")
+    }
+  }
+
+  // --- tf-idf top terms --------------------------------------------------
+
+  test("tfidf top terms: integer micro-nat ranking matches a driver-side model; df=N excluded") {
+    val docs = Seq(
+      (1L, "apple apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "cherry date date date date common"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver-side ground truth with the same floor(ln(N/df)·1e6) banking
+    val toks = Map(
+      1L -> Seq("apple", "apple", "apple", "banana", "common"),
+      2L -> Seq("banana", "banana", "cherry", "common"),
+      3L -> Seq("cherry", "date", "date", "date", "date", "common"))
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val n = toks.size.toDouble
+    val expected = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (tok, occ) =>
+        (id, tok, occ.size.toLong, df(tok).toLong,
+          occ.size * math.floor(math.log(n / df(tok)) * 1e6).toLong)
+      }
+    }.filter(_._5 > 0).groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (-r._5, r._2)).take(2)
+    }.toSet
+    assert(out.toSet == expected, s"got ${out.toSet}\nexp $expected")
+    assert(!out.exists(_._2 == "common"), "df = N term has idf 0 and is excluded")
+    assert(out.count(_._1 == 1L) <= 2 && out.count(_._1 == 2L) <= 2, "top-k bound")
+  }
 }
