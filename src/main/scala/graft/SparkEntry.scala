@@ -680,6 +680,43 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")), k = 3)
     }),
 
+    // Content-defined chunking: rolling-hash boundaries (3-gram % 16),
+    // shift-resistant segment table per document.
+    "cdc_chunks" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.cdcChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        k = 3, divisor = 16)
+    }),
+
+    // Cross-document shared CDC segments (>= 3 tokens, >= 2 docs):
+    // segment-level dup detection that survives insertions.
+    "cdc_shared_chunks" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.cdcSharedChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        k = 3, divisor = 16, minTokens = 3)
+    }),
+
+    // Temperature-scaled language mixing weights (alpha = 0.5 upsamples
+    // low-resource languages), with the ppm rate stratifiedSample takes.
+    "lang_mix_weights" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.temperatureMixWeights(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", alpha = 0.5)
+    }),
+
+    // Exact cross-corpus dedup THROUGH the Bloom-prefiltered plan (ref =
+    // even doc_ids): bloom positives resolved by the exact anti-join, so
+    // the result must equal the oracle's plain NOT EXISTS.
+    "cross_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      graft.ops.TrainingDataOps.exactCrossDedup(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        bloomItems = 1000L, fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // PII redaction: email -> ssn -> phone rule order, all matches.
     "pii_redact" -> ((s, dir) => {
       graft.ops.TrainingDataOps.piiRedact(
@@ -1636,6 +1673,76 @@ object SparkEntry {
          |  CAST(cum_before % 256 AS BIGINT) AS block_offset
          |FROM c""".stripMargin
     },
+
+    // content-defined chunks: boundary AFTER 1-based token i when the
+    // 3-gram ending at i hashes to 0 mod 16; bs = [0] ++ bounds ++ [len];
+    // hs[a+1 : b] is DuckDB's 1-based inclusive slice of 0-based tokens
+    // a..b-1, twin of Spark slice(hs, bs[cidx]+1, bs[cidx+1]-bs[cidx]).
+    "cdc_chunks" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |b AS (SELECT doc_id, hs,
+         |        list_concat(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_filter(range(3, len(hs)), i ->
+         |            (((hs[i-2] * 31 + hs[i-1]) % 1000000007 * 31 + hs[i])
+         |              % 1000000007) % 16 = 0),
+         |            x -> CAST(x AS BIGINT))),
+         |          [CAST(len(hs) AS BIGINT)]) AS bs
+         |      FROM h),
+         |c AS (SELECT doc_id, unnest(range(0, len(bs) - 1)) AS cidx, hs, bs FROM b)
+         |SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+         |  CAST(bs[cidx + 1] AS BIGINT) AS start_tok,
+         |  CAST(bs[cidx + 2] - bs[cidx + 1] AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    hs[bs[cidx + 1] + 1 : bs[cidx + 2]]),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_hash
+         |FROM c""".stripMargin,
+
+    "cdc_shared_chunks" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |b AS (SELECT doc_id, hs,
+         |        list_concat(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_filter(range(3, len(hs)), i ->
+         |            (((hs[i-2] * 31 + hs[i-1]) % 1000000007 * 31 + hs[i])
+         |              % 1000000007) % 16 = 0),
+         |            x -> CAST(x AS BIGINT))),
+         |          [CAST(len(hs) AS BIGINT)]) AS bs
+         |      FROM h),
+         |c AS (SELECT doc_id, unnest(range(0, len(bs) - 1)) AS cidx, hs, bs FROM b),
+         |ch AS (SELECT doc_id,
+         |         CAST(bs[cidx + 2] - bs[cidx + 1] AS BIGINT) AS n_tokens,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           hs[bs[cidx + 1] + 1 : bs[cidx + 2]]),
+         |           (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_hash
+         |       FROM c)
+         |SELECT chunk_hash, count(*) AS n_occ,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(n_tokens) AS n_tokens
+         |FROM ch WHERE n_tokens >= 3
+         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // temperature mixing: normalizer folded in stratum order (explicit
+    // left fold — DuckDB's list_sum may pairwise-sum); sqrt is the one
+    // power IEEE guarantees correctly rounded, so both engines agree.
+    "lang_mix_weights" ->
+      """WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+        |          (a, x) -> a + x) AS z FROM s)
+        |SELECT lang, n_docs,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / z, 9) AS mix_weight,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / z * 1000000) AS BIGINT) AS rate_ppm
+        |FROM s, tot""".stripMargin,
+
+    // exact cross-dedup through the BLOOM-PREFILTERED plan: the oracle is
+    // the plain NOT EXISTS — a Bloom false positive that survived the
+    // exact anti-join, or a false drop, would hash-mismatch here.
+    "cross_dedup_exact" ->
+      """SELECT n.doc_id, n.lang, n.source
+        |FROM documents n
+        |WHERE n.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 2 = 0 AND r.text = n.text)""".stripMargin,
 
     // tf-idf top-3 per doc; idf banked to integer micro-nats BEFORE the
     // tf multiply so the ranking key is integer-exact on both engines.

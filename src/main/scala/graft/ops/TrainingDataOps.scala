@@ -1291,4 +1291,143 @@ object TrainingDataOps {
       .filter(col("rk") <= k && col("score") > 0)
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("score"))
   }
+
+  /** Content-defined chunking (CDC — the rolling-hash splitting of LBFS /
+    * dedup storage, token-level): a chunk boundary falls AFTER 1-based
+    * token i whenever the hash of the k-gram ENDING at i is ≡ 0 mod
+    * `divisor`, giving mean chunk length ≈ divisor tokens. Because a
+    * boundary depends only on the k tokens ending at it, inserting or
+    * deleting text re-chunks only the neighborhood of the edit — chunk
+    * hashes downstream of the change survive, which is what makes CDC
+    * segments a SHIFT-RESISTANT dedup key where fixed windows
+    * (chunkDocuments) would re-align everything. No min/max chunk bound:
+    * keeping the boundary rule purely positional is what lets the whole
+    * operator stay a per-row projection (and lets the oracle restate it).
+    *
+    * Output: one row per (doc, chunk): 0-based chunk_idx, 0-based
+    * start_tok, n_tokens, and the chunk's polynomial hash over its token
+    * hashes. Scale shape: projection + explode over the codegen
+    * token-hash array — no shuffle, no join, O(len) per document.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    // boundary candidates: 1-based end positions k..len-1 (a boundary at
+    // the last token would open an empty trailing chunk); sequence(k,
+    // negative) DESCENDS, hence the size guard.
+    val ends = filter(
+      sequence(lit(k), size(col("hs")) - 1),
+      i => (0 until k).foldLeft(lit(0L)) { (acc, j) =>
+        (acc * 31 + element_at(col("hs"), i - (k - 1) + j)) % P
+      } % divisor === 0)
+    val bounds = when(size(col("hs")) >= k + 1, ends)
+      .otherwise(array().cast("array<int>"))
+    val start = element_at(col("bs"), col("cidx") + 1)
+    val end = element_at(col("bs"), col("cidx") + 2)
+    docs
+      .select(col(idCol), tokenPolyHashes(col(textCol)).as("hs"))
+      .withColumn("bs",
+        concat(array(lit(0)), bounds, array(size(col("hs")))))
+      .select(col(idCol), col("hs"), col("bs"),
+        explode(sequence(lit(0), size(col("bs")) - 2)).as("cidx"))
+      .select(col(idCol),
+        col("cidx").cast("long").as("chunk_idx"),
+        start.cast("long").as("start_tok"),
+        (end - start).cast("long").as("n_tokens"),
+        // bs[cidx] is the 0-based SQL subscript = element_at(bs, cidx+1)
+        expr(s"aggregate(slice(hs, bs[cidx] + 1, bs[cidx + 1] - bs[cidx]), " +
+          s"0L, (acc, x) -> (acc * 31 + x) % ${P}L)").as("chunk_hash"))
+  }
+
+  /** Cross-document shared CDC segments: group the content-defined
+    * chunks by hash and keep hashes seen in ≥ 2 distinct documents —
+    * segment-level duplication that survives insertions/shifts (where
+    * dedup_substring's positional 5-grams are exhaustive but dense, CDC
+    * emits ~1/divisor as many rows per token). minTokens drops the tiny
+    * chunks whose hashes collide by chance. Scale shape: one projection
+    * + explode, one hash-keyed aggregation — never a pair join.
+    */
+  def cdcSharedChunks(docs: DataFrame, k: Int = 3, divisor: Int = 16,
+      minTokens: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    cdcChunks(docs, k, divisor, idCol, textCol)
+      .filter(col("n_tokens") >= minTokens)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+
+  /** Temperature-scaled mixture weights over a stratum column — the
+    * pretraining data-mixing rule w_i = c_i^α / Σ_j c_j^α (α < 1
+    * upsamples low-resource strata; α = 1 is proportional). The
+    * cross-stratum normalizer is folded in STRATUM ORDER on both engines
+    * (double addition is not associative — the quality_logprob lesson),
+    * and α = 0.5 is computed as sqrt, the one power IEEE-754 guarantees
+    * correctly rounded, so the oracle comparison is bit-exact. Output
+    * also banks the weight to an integer ppm rate, ready to drive
+    * stratifiedSample. Scale shape: one map-side-combinable count, a
+    * one-row ordered reduce, a broadcast join back — never a global sort.
+    */
+  def temperatureMixWeights(docs: DataFrame, strataCol: String = "lang",
+      alpha: Double = 0.5): DataFrame = {
+    val s = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__s",
+        if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+        else if (alpha == 1.0) col("n_docs").cast("double")
+        else pow(col("n_docs").cast("double"), lit(alpha)))
+    val z = s
+      .agg(collect_list(struct(col(strataCol).as("k"), col("__s").as("s"))).as("arr"))
+      .select(aggregate(
+        transform(array_sort(col("arr")), x => x.getField("s")),
+        lit(0.0), (a, b) => a + b).as("__z"))
+    s.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"),
+        round(col("__s") / col("__z"), 9).as("mix_weight"),
+        floor(col("__s") / col("__z") * 1000000d).cast("long").as("rate_ppm"))
+  }
+
+  /** Exact cross-corpus dedup: keep the new-corpus rows whose content
+    * hash does NOT appear in the reference corpus. `bloomItems > 0`
+    * turns on a Bloom pre-filter built over the reference keys
+    * (one pass, driver-merged sketch of ~1.44·n·ln(1/fpp) bits): rows
+    * the filter rules out are kept WITHOUT entering the anti-join
+    * shuffle — only probable matches (true dups + ~fpp of the rest)
+    * shuffle, which at a 100 TB new corpus against a mostly-disjoint
+    * reference shrinks the join input by ~1/fpp. The filter can only
+    * produce false POSITIVES, and those are resolved by the exact
+    * anti-join, so the result is identical with the pre-filter on or
+    * off (pinned by test and by the cross_dedup_exact oracle). For
+    * reference corpora too large for one driver sketch, shard the
+    * reference and AND the verdicts — the fpp knob trades driver
+    * memory for shuffle volume. The new corpus is scanned twice (clean
+    * branch + maybe branch); at scale the scan is cheap next to the
+    * shuffle it avoids, and the two branches union without a sort.
+    */
+  def exactCrossDedup(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      bloomItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val key = xxhash64(col(textCol))
+    val ref = refDocs.select(key.as("__k")).distinct()
+    val base = newDocs.withColumn("__k", key)
+    val filtered =
+      if (bloomItems <= 0L) base.join(ref, Seq("__k"), "left_anti")
+      else {
+        val bf = ref.stat.bloomFilter("__k", bloomItems, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        import org.apache.spark.sql.graftbridge.CatalystBridge
+        val might = CatalystBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(bos.toByteArray,
+                org.apache.spark.sql.types.BinaryType),
+            CatalystBridge.expression(col("__k"))))
+        // definitely-absent rows bypass the shuffle entirely; only
+        // bloom-positive rows pay the exact anti-join
+        base.filter(!might).unionByName(
+          base.filter(might).join(ref, Seq("__k"), "left_anti"))
+      }
+    filtered.drop("__k")
+  }
 }

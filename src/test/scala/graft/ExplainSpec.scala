@@ -97,7 +97,7 @@ class ExplainSpec extends SparkSpec {
     // pure projection+filter
     for (q <- Seq("text_repetition", "pii_redact", "sample_stratified",
         "chunk_documents", "quality_logprob", "sample_rebalance",
-        "quality_classifier", "winnow_fingerprint")) {
+        "quality_classifier", "winnow_fingerprint", "cdc_chunks")) {
       assert(!plan(q).contains("Exchange"), s"$q must not shuffle")
     }
   }

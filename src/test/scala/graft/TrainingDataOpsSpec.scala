@@ -672,4 +672,97 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!out.exists(_._2 == "common"), "df = N term has idf 0 and is excluded")
     assert(out.count(_._1 == 1L) <= 2 && out.count(_._1 == 2L) <= 2, "top-k bound")
   }
+  // --- content-defined chunking ------------------------------------------
+
+  /** Driver-side CDC ground truth (k=3, same boundary rule). */
+  private def cdcExpected(text: String, divisor: Int): Seq[(Long, Long, Long, Long)] = {
+    val hs = text.split(" ", -1).map(ph)
+    val ends = (3 to hs.length - 1).filter { i => // 1-based end positions
+      (((hs(i - 3) * 31 + hs(i - 2)) % P * 31 + hs(i - 1)) % P) % divisor == 0
+    }
+    val bs = (0L +: ends.map(_.toLong)) :+ hs.length.toLong
+    bs.sliding(2).zipWithIndex.map { case (Seq(s, e), c) =>
+      (c.toLong, s, e - s,
+        hs.slice(s.toInt, e.toInt).foldLeft(0L)((a, x) => (a * 31 + x) % P))
+    }.toSeq
+  }
+
+  test("cdc chunks: match driver-side ground truth; chunks partition the doc") {
+    val docs = base
+    val out = TrainingDataOps.cdcChunks(docs, divisor = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      assert(out(id) == cdcExpected(text, 4), s"doc $id CDC mismatch")
+      val chunks = out(id)
+      assert(chunks.map(_._3).sum == text.split(" ", -1).length.toLong,
+        s"doc $id chunks cover every token exactly once")
+      chunks.sliding(2).foreach {
+        case Seq((_, s1, n1, _), (_, s2, _, _)) =>
+          assert(s1 + n1 == s2, s"doc $id chunks contiguous")
+        case _ =>
+      }
+    }
+  }
+
+  test("cdc chunks are shift-resistant: a prepended token leaves downstream chunk hashes intact") {
+    val body = (1 to 80).map(i => s"w${i % 13}x$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "zzz " + body)).toDF("doc_id", "text")
+    val hashes = TrainingDataOps.cdcChunks(docs, divisor = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val shared = hashes(1L).intersect(hashes(2L))
+    assert(hashes(1L).size >= 5, s"fixture long enough to chunk: ${hashes(1L).size}")
+    assert(shared.size >= hashes(1L).size - 2,
+      s"only the chunk containing the edit may change (shared ${shared.size} of ${hashes(1L).size})")
+  }
+
+  test("cdc shared chunks: planted shared segment found across docs, unique segments not") {
+    val seg = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, seg + " tail one here"),
+      (2L, "totally different head before " + seg),
+      (3L, "no shared middle in this document at all body"))
+      .toDF("doc_id", "text")
+    val shared = TrainingDataOps.cdcSharedChunks(docs, divisor = 8).collect()
+    assert(shared.nonEmpty, "the planted 40-token shared segment yields shared chunks")
+    assert(shared.forall(_.getLong(2) == 2L), "only docs 1 and 2 share segments")
+  }
+
+  // --- temperature mixing --------------------------------------------------
+
+  test("temperature mix weights: sqrt law hand-checked; alpha=1 proportional") {
+    val docs = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(16)("c"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val w = TrainingDataOps.temperatureMixWeights(docs, "lang", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(w("a") == ((1L, 1.0 / 7, math.floor(1.0 / 7 * 1e6).toLong)) ||
+      (w("a")._1 == 1L && math.abs(w("a")._2 - 1.0 / 7) < 1e-9), s"a: ${w("a")}")
+    assert(w("b")._1 == 4L && math.abs(w("b")._2 - 2.0 / 7) < 1e-9, s"b: ${w("b")}")
+    assert(w("c")._1 == 16L && math.abs(w("c")._2 - 4.0 / 7) < 1e-9, s"c: ${w("c")}")
+    assert(w.values.map(_._3).sum <= 1000000L, "ppm rates never oversubscribe")
+    val w1 = TrainingDataOps.temperatureMixWeights(docs, "lang", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(w1("c") - 16.0 / 21) < 1e-9, "alpha=1 is proportional")
+    assert(w1("c") > w("c")._2, "alpha<1 flattens the head stratum")
+  }
+
+  // --- exact cross dedup + bloom pre-filter --------------------------------
+
+  test("exact cross dedup: bloom-prefiltered plan returns exactly the plain anti-join") {
+    val ref = (0L until 300L).map(i => (i, s"ref doc number $i with body")).toDF("doc_id", "text")
+    val newD = (1000L until 1400L).map { i =>
+      val t = if (i % 5 == 0) s"ref doc number ${i % 300} with body" // planted dup of ref
+      else s"new doc $i fresh content"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val plain = TrainingDataOps.exactCrossDedup(newD, ref).collect()
+      .map(_.getLong(0)).sorted
+    val bloomed = TrainingDataOps.exactCrossDedup(newD, ref, bloomItems = 300L, fpp = 0.05)
+      .collect().map(_.getLong(0)).sorted
+    assert(plain.toSeq == bloomed.toSeq, "bloom prefilter never changes the result")
+    assert(plain.length == 320, s"80 planted dups dropped (got ${plain.length})")
+    assert(!plain.contains(1000L) && plain.contains(1001L), "dup dropped, fresh kept")
+  }
 }
