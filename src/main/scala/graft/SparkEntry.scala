@@ -704,6 +704,21 @@ object SparkEntry {
         "lang", alpha = 0.5)
     }),
 
+    // MinHash estimator audit: per LSH candidate pair, the signature
+    // Jaccard estimate (agreeing sigs / 8) vs the exact trigram Jaccard.
+    "minhash_jaccard_est" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.minhashJaccardEstimate(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+    }),
+
+    // Cardinality-sketch audit: per-lang distinct trigram count, exact
+    // vs the linear-counting estimate from a 16384-slot bitmap.
+    "gram_cardinality" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.gramCardinality(
+        t(s, dir, "documents").select(col("lang"), col("text")),
+        n = 3, m = 16384)
+    }),
+
     // Exact cross-corpus dedup THROUGH the Bloom-prefiltered plan (ref =
     // even doc_ids): bloom positives resolved by the exact anti-join, so
     // the result must equal the oracle's plain NOT EXISTS.
@@ -1732,6 +1747,81 @@ object SparkEntry {
         |  round(sqrt(CAST(n_docs AS DOUBLE)) / z, 9) AS mix_weight,
         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / z * 1000000) AS BIGINT) AS rate_ppm
         |FROM s, tot""".stripMargin,
+
+    // minhash estimate vs exact: the dedup_lsh_verified CTE chain plus a
+    // per-pair signature-agreement join; est = agreeing sigs / 8.
+    "minhash_jaccard_est" -> {
+      val sigs = graft.ops.TrainingDataOps.MinhashA
+        .zip(graft.ops.TrainingDataOps.MinhashB).zipWithIndex.map {
+          case ((a, b), j) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007)) AS sig_$j"
+        }.mkString(",\n ")
+      val agree = (0 until 8).map(j =>
+        s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH hs AS (
+         |  SELECT doc_id, $duckTokenHashes AS hs FROM documents),
+         |sig AS (SELECT doc_id, $sigs FROM hs),
+         |buckets AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band
+         |      WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR)
+         |      WHEN 1 THEN CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR)
+         |      WHEN 2 THEN CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR)
+         |      ELSE CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR)
+         |    END AS bucket
+         |  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+         |small AS (
+         |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+         |  HAVING count(*) <= 64),
+         |kept AS (
+         |  SELECT buckets.* FROM buckets JOIN small USING (band, bucket)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT p.id_a, p.id_b, ($agree) / 8.0 AS jac_est
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.id_a
+         |  JOIN sig sb ON sb.doc_id = p.id_b),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 1), i ->
+         |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         |    ELSE [] END AS sh
+         |  FROM toks)
+         |SELECT e.id_a, e.id_b, e.jac_est,
+         |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(a.sh, b.sh))) END, 5) AS jaccard,
+         |  round(abs(e.jac_est -
+         |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.sh, b.sh))) END, 5)), 5) AS abs_err
+         |FROM est e
+         |JOIN sh a ON a.doc_id = e.id_a
+         |JOIN sh b ON b.doc_id = e.id_b""".stripMargin
+    },
+
+    // linear-counting audit: exact distinct trigram hashes per lang vs
+    // the -m ln(empty/m) estimate from a 16384-slot bitmap.
+    "gram_cardinality" ->
+      s"""WITH h AS (SELECT lang, $duckTokenHashes AS hs FROM documents),
+         |g AS (SELECT lang, unnest(${duckGramExpr(3)}) AS gram FROM h),
+         |agg AS (
+         |  SELECT lang, count(*) AS n_grams,
+         |    CAST(count(DISTINCT gram) AS BIGINT) AS v_exact,
+         |    CAST(count(DISTINCT gram % 16384) AS BIGINT) AS v_occ
+         |  FROM g GROUP BY lang)
+         |SELECT lang, n_grams, v_exact, v_occ,
+         |  CASE WHEN v_occ >= 16384 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(floor(-16384.0 *
+         |      ln(CAST(16384 - v_occ AS DOUBLE) / 16384.0)) AS BIGINT)
+         |  END AS est_linear
+         |FROM agg""".stripMargin,
 
     // exact cross-dedup through the BLOOM-PREFILTERED plan: the oracle is
     // the plain NOT EXISTS — a Bloom false positive that survived the

@@ -668,7 +668,7 @@ class TrainingDataOpsSpec extends SparkSpec {
     }.filter(_._5 > 0).groupBy(_._1).flatMap { case (_, rows) =>
       rows.toSeq.sortBy(r => (-r._5, r._2)).take(2)
     }.toSet
-    assert(out.toSet == expected, s"got ${out.toSet}\nexp $expected")
+    assert(out.toSet == expected, s"got ${out.toSet} exp $expected")
     assert(!out.exists(_._2 == "common"), "df = N term has idf 0 and is excluded")
     assert(out.count(_._1 == 1L) <= 2 && out.count(_._1 == 2L) <= 2, "top-k bound")
   }
@@ -764,5 +764,49 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(plain.toSeq == bloomed.toSeq, "bloom prefilter never changes the result")
     assert(plain.length == 320, s"80 planted dups dropped (got ${plain.length})")
     assert(!plain.contains(1000L) && plain.contains(1001L), "dup dropped, fresh kept")
+  }
+
+  // --- sketch-quality audits ---------------------------------------------
+
+  test("minhash jaccard estimate: exact dup pair estimates 1.0; estimates are eighths") {
+    val out = TrainingDataOps.minhashJaccardEstimate(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.contains((0L, 6L)), "exact dup pair is an LSH candidate")
+    assert(out((0L, 6L)) == ((1.0, 1.0, 0.0)), s"dup pair: ${out((0L, 6L))}")
+    out.values.foreach { case (est, exact, err) =>
+      assert((est * 8).isWhole && est >= 0.0 && est <= 1.0, s"estimate is k/8: $est")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-5, "err column consistent")
+    }
+    out.get((0L, 1L)).foreach { case (est, exact, _) =>
+      assert(est >= 0.5 && exact > 0.7, "near-dup pair estimates high")
+    }
+  }
+
+  test("gram cardinality: exact/occupied/estimate match a driver-side model; saturation reports -1") {
+    val docs = base.withColumn("lang", lit("xx"))
+      .select(col("lang"), col("text"))
+    val m = 64
+    val out = TrainingDataOps.gramCardinality(docs, n = 3, m = m).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // driver-side ground truth over the same polynomial gram hashes
+    val grams = base.collect().map(_.getString(1)).flatMap { text =>
+      val hs = text.split(" ", -1).map(ph)
+      (0 to hs.length - 3).map(i =>
+        ((hs(i) * 31 + hs(i + 1)) % P * 31 + hs(i + 2)) % P)
+    }
+    val vExact = grams.distinct.length.toLong
+    val vOcc = grams.map(_ % m).distinct.length.toLong
+    assert(r.getLong(1) == grams.length.toLong, "n_grams")
+    assert(r.getLong(2) == vExact, "v_exact")
+    assert(r.getLong(3) == vOcc, "v_occ")
+    val expEst =
+      if (vOcc >= m) -1L
+      else math.floor(-m.toDouble * math.log((m - vOcc).toDouble / m)).toLong
+    assert(r.getLong(4) == expEst, s"estimate formula (got ${r.getLong(4)}, exp $expEst)")
+    // a saturated bitmap must disclose, not extrapolate
+    val sat = TrainingDataOps.gramCardinality(docs, n = 3, m = 1).collect()(0)
+    assert(sat.getLong(4) == -1L, "v_occ = m reports -1")
   }
 }
