@@ -719,6 +719,14 @@ object SparkEntry {
         n = 3, m = 16384)
     }),
 
+    // Per-label embedding outliers: integer-quantized centroid distance,
+    // top-3 per label (mislabel / contamination detection).
+    "embedding_outliers" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.embeddingOutliers(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          col("embedding")), k = 3)
+    }),
+
     // Exact cross-corpus dedup THROUGH the Bloom-prefiltered plan (ref =
     // even doc_ids): bloom positives resolved by the exact anti-join, so
     // the result must equal the oracle's plain NOT EXISTS.
@@ -1822,6 +1830,37 @@ object SparkEntry {
          |      ln(CAST(16384 - v_occ AS DOUBLE) / 16384.0)) AS BIGINT)
          |  END AS est_linear
          |FROM agg""".stripMargin,
+
+    // embedding outliers: integer micro-unit quantization makes the
+    // centroid exact; the squared-numerator fold runs in dim order (each
+    // term < 2^53 so exact in a double) — bit-identical across engines.
+    "embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, d, sum(q[d]) AS s, count(*) AS n
+        |  FROM q, range(1, 65) AS t(d)
+        |  GROUP BY label, d),
+        |cent AS (
+        |  SELECT label, list(s ORDER BY d) AS s, max(n) AS n
+        |  FROM sums GROUP BY label),
+        |dist AS (
+        |  SELECT q.vec_id, q.label,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), d ->
+        |        CAST(q.q[d] * c.n - c.s[d] AS DOUBLE)
+        |          * CAST(q.q[d] * c.n - c.s[d] AS DOUBLE))),
+        |      (a, x) -> a + x)
+        |      / (CAST(c.n AS DOUBLE) * c.n * 1000000000000.0), 6) AS d2
+        |  FROM q JOIN cent c USING (label))
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY d2 DESC, vec_id) AS rk
+        |  FROM dist)
+        |WHERE rk <= 3""".stripMargin,
 
     // exact cross-dedup through the BLOOM-PREFILTERED plan: the oracle is
     // the plain NOT EXISTS — a Bloom false positive that survived the

@@ -1503,4 +1503,52 @@ object TrainingDataOps {
             log((lit(m.toLong) - col("v_occ")).cast("double") / m.toDouble))
             .cast("long")).as("est_linear"))
   }
+
+  /** Per-label embedding outliers (mislabel / contamination detection):
+    * distance of every vector to its own label's centroid, top-k per
+    * label. Exactness across engines comes from INTEGER quantization:
+    * each coordinate is banked to micro-units (floor(x·10⁶)), the
+    * centroid lives as per-dimension integer SUMS (exact, order-free),
+    * and the squared distance is computed on the integer numerator
+    * (q_d·n − S_d)² — each square is < 2⁵³ so exact in a double — summed
+    * in DIMENSION order (a fixed-order fold both engines replay
+    * identically), then scaled back once. A naive float centroid would
+    * differ in the last ulp with every aggregation order.
+    *
+    * Scale shape: the sums pass is one map-side-combinable aggregate
+    * over posexploded dims (64 partials per label per mapper); centroids
+    * and counts broadcast back; the per-vector distance is a projection.
+    * The top-k window sorts within label partitions — at extreme rows
+    * per label, pre-filter on a distance threshold before ranking.
+    */
+  def embeddingOutliers(embs: DataFrame, k: Int = 3,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embs.select(col(idCol), col(labelCol),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000000d)).as("q"))
+    val sums = q
+      .select(col(labelCol), posexplode(col("q")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("col")).as("s"))
+    val cent = sums.groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("s"))
+    val cnt = q.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val num = (a: Column, b: Column) => (a * col("n") - b).cast("double")
+    val dist = q
+      .join(broadcast(cent), labelCol :: Nil)
+      .join(broadcast(cnt), labelCol :: Nil)
+      .withColumn("d2", round(
+        aggregate(
+          zip_with(col("q"), col("s"), (a, b) => num(a, b) * num(a, b)),
+          lit(0.0), (acc, x) => acc + x)
+          / (col("n").cast("double") * col("n") * 1e12d), 6))
+    dist
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(labelCol)).orderBy(col("d2").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col(labelCol), col("rk").cast("long").as("rk"),
+        col(idCol), col("d2"))
+  }
 }

@@ -809,4 +809,41 @@ class TrainingDataOpsSpec extends SparkSpec {
     val sat = TrainingDataOps.gramCardinality(docs, n = 3, m = 1).collect()(0)
     assert(sat.getLong(4) == -1L, "v_occ = m reports -1")
   }
+
+  // --- embedding outliers --------------------------------------------------
+
+  test("embedding outliers: planted far vector ranks first; d2 matches an integer-exact model") {
+    // 11 vectors per label tightly around a label axis, one planted far
+    def vec(label: Int, i: Long, far: Boolean): Seq[Float] =
+      Array.tabulate(8) { d =>
+        val base = if (d == label) 0.5f else 0.05f
+        val jig = ((i * 31 + d * 7) % 5).toFloat / 200f
+        if (far) base + 0.4f + jig else base + jig
+      }.toSeq
+    val rows = for (l <- 0 until 2; i <- 0L until 11L)
+      yield (l.toLong * 100 + i, l, vec(l, i, far = i == 7L))
+    val df = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = TrainingDataOps.embeddingOutliers(df, k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 4, "top-2 per 2 labels")
+    out.filter(_._2 == 1L).foreach { case (l, _, vid, _) =>
+      assert(vid == l * 100 + 7, s"planted far vector is rank 1 in label $l")
+    }
+    // integer-exact ground truth for one vector
+    val q = rows.map { case (vid, l, e) =>
+      (vid, l, e.map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    }
+    val g = q.filter(_._2 == 0)
+    val n = g.length.toLong
+    val sums = Array.tabulate(8)(d => g.map(_._3(d)).sum)
+    val target = g.find(_._1 == 7L).get._3
+    val d2exp = BigDecimal(
+      target.indices.map { d =>
+        val num = (target(d) * n - sums(d)).toDouble; num * num
+      }.foldLeft(0.0)(_ + _) / (n.toDouble * n * 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(r => r._1 == 0 && r._3 == 7L).get._4
+    assert(got == d2exp, s"d2 integer-exact (got $got exp $d2exp)")
+  }
 }
