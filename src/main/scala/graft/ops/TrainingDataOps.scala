@@ -1408,8 +1408,15 @@ object TrainingDataOps {
     * reference corpora too large for one driver sketch, shard the
     * reference and AND the verdicts — the fpp knob trades driver
     * memory for shuffle volume. The new corpus is scanned twice (clean
-    * branch + maybe branch); at scale the scan is cheap next to the
-    * shuffle it avoids, and the two branches union without a sort.
+    * branch + maybe branch).
+    *
+    * DEFAULT IS OFF, by measurement (BASELINE.md, graft.BloomAb): on a
+    * single node the shuffle runs at ~scan bandwidth, so the bytes the
+    * filter avoids cost less than the reference pass + second scan it
+    * adds (~2x slower here). Turn it on when BOTH hold: the shuffle
+    * crosses a real network, and the reference key set exceeds
+    * broadcast size (under ~10 MB AQE just broadcasts the ref side and
+    * no new-corpus shuffle exists to avoid).
     */
   def exactCrossDedup(newDocs: DataFrame, refDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
