@@ -91,7 +91,18 @@ object GuardianStream {
       // summaries); `readVocab` folds epochs in batch order, so the
       // merged view is deterministic and compaction is bit-exact
       // lossless.
-      vocabK: Option[Int] = None)
+      vocabK: Option[Int] = None,
+      // When set (rides the quality sink — requires qualityWindow), each
+      // epoch also lands an m-slot LINEAR-COUNTING bitmap over token
+      // trigram hashes (GramBitmapAgg, tokenized inside the aggregate)
+      // in the quality manifest — a standing corpus-DIVERSITY monitor
+      // (estimated distinct trigrams of everything ever sunk) for zero
+      // extra jobs. Bitmap merge is bitwise OR: associative AND
+      // commutative, so the merged view is independent of epoch
+      // boundaries and compaction order; `readDiversity` reports the
+      // exact occupied-slot count and the linear-counting estimate.
+      // Must be a positive multiple of 64 (m bits = m/64 longs).
+      diversityM: Option[Int] = None)
 
   /** The per-batch text-length spec driving the micro-batch validation
     * report (the streaming analog of validate_dataset's fixed ranges,
@@ -164,7 +175,8 @@ object GuardianStream {
       cfg: StreamConfig,
       batchId: Long,
       observed: Option[scala.collection.Map[Long, scala.collection.Seq[Long]]],
-      observedVocab: Option[scala.collection.Map[String, Long]] = None): Unit = {
+      observedVocab: Option[scala.collection.Map[String, Long]] = None,
+      observedDiv: Option[scala.collection.Seq[Long]] = None): Unit = {
     val window = cfg.qualityWindow.getOrElse(return)
     val root = qualityRoot(cfg)
     if (IceLite.isCommitted(root, batchId)) return
@@ -208,6 +220,23 @@ object GuardianStream {
           }
       }
     }
+    // Diversity bitmap (when configured): observed partial or the same
+    // recovery re-derivation; an empty epoch lands an all-zero bitmap
+    // (the OR-merge identity).
+    val div: Option[Array[Long]] = cfg.diversityM.map { dm =>
+      observedDiv match {
+        case Some(s) => s.toArray
+        case None =>
+          epochDataDir(cfg, batchId) match {
+            case None => new Array[Long](dm / 64)
+            case Some(dataDir) =>
+              spark.read.parquet(dataDir)
+                .agg(graft.expressions.GramBitmapAgg
+                  .textColumn(org.apache.spark.sql.functions.col("text"), 3, dm).as("d"))
+                .collect()(0).getSeq[Long](0).toArray
+          }
+      }
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("batch_id", batchId)
@@ -230,9 +259,61 @@ object GuardianStream {
         val vn = va.addObject(); vn.put("t", t); vn.put("c", c)
       }
     }
+    div.foreach { words =>
+      node.put("div_m", cfg.diversityM.get)
+      val da = node.putArray("div")
+      words.foreach(da.add)
+    }
     IceLite.commitIO.publishIfAbsent(
       qualityManifestPath(root, batchId), mapper.writeValueAsString(node))
     ()
+  }
+
+  /** (m, bitmap words) of one quality manifest's diversity block, or
+    * None when the manifest carries no diversity bitmap.
+    */
+  private def divOf(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      path: java.nio.file.Path): Option[(Int, Array[Long])] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(path))
+    Option(node.get("div_m")).map { mn =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      Option(node.get("div")).foreach(_.elements().forEachRemaining { vn =>
+        out += vn.asLong()
+      })
+      mn.asInt() -> out.toArray
+    }
+  }
+
+  /** Merged corpus-diversity view: OR the per-epoch linear-counting
+    * bitmaps (compacted state + residual epochs — OR is order-free, so
+    * unlike the vocab fold the order here is only a convention) and
+    * report one row (m, v_occ, est_linear): exact occupied slots and
+    * the −m·ln(empty/m) distinct-trigram estimate, −1 on saturation.
+    */
+  def readDiversity(spark: SparkSession, sinkDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sinkDir, "quality").toString
+    val (latest, residual) = qualitySources(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var dm = 0
+    var acc: Array[Long] = null
+    def fold(path: java.nio.file.Path): Unit =
+      divOf(mapper, path).foreach { case (m2, w) =>
+        if (acc == null) { dm = m2; acc = w.clone() }
+        else {
+          require(m2 == dm, s"diversity bitmap size changed mid-stream: $m2 vs $dm")
+          var i = 0
+          while (i < acc.length) { acc(i) |= w(i); i += 1 }
+        }
+      }
+    latest.foreach(u => fold(compactQualityPath(root, u)))
+    residual.foreach(b => fold(qualityManifestPath(root, b)))
+    import spark.implicits._
+    if (acc == null) Seq.empty[(Int, Long, Long)].toDF("m", "v_occ", "est_linear")
+    else {
+      val (v, est) = graft.expressions.GramBitmapAgg.summarize(acc, dm)
+      Seq((dm, v, est)).toDF("m", "v_occ", "est_linear")
+    }
   }
 
   /** (k, (token, counter) pairs) of one quality manifest's vocabulary
@@ -576,13 +657,27 @@ object GuardianStream {
         vocabK = k
         graft.expressions.MgBuffer.foldStringPartial(vacc, partial, k)
       }
+    // Diversity bitmaps fold by OR — order-free, trivially lossless
+    // under compaction (unlike the order-pinned MG fold above).
+    var divM = 0
+    var dacc: Array[Long] = null
+    def dfold(path: java.nio.file.Path): Unit =
+      divOf(mapper, path).foreach { case (m2, w) =>
+        if (dacc == null) { divM = m2; dacc = w.clone() }
+        else {
+          var i = 0
+          while (i < dacc.length) { dacc(i) |= w(i); i += 1 }
+        }
+      }
     latest.foreach { u =>
       qualityPartialsOf(mapper, compactQualityPath(root, u)).foreach(fold)
       vfold(compactQualityPath(root, u))
+      dfold(compactQualityPath(root, u))
     }
     residual.foreach { b =>
       qualityPartialsOf(mapper, qualityManifestPath(root, b)).foreach(fold)
       vfold(qualityManifestPath(root, b))
+      dfold(qualityManifestPath(root, b))
     }
     val node = mapper.createObjectNode()
     node.put("upto_batch", upTo)
@@ -604,6 +699,11 @@ object GuardianStream {
       vrows.sortBy(_._1).foreach { case (t, c) =>
         val vn = va.addObject(); vn.put("t", t); vn.put("c", c)
       }
+    }
+    if (divM > 0) {
+      node.put("div_m", divM)
+      val da = node.putArray("div")
+      dacc.foreach(da.add)
     }
     IceLite.commitIO.publishIfAbsent(
       compactQualityPath(root, upTo), mapper.writeValueAsString(node))
@@ -779,7 +879,11 @@ object GuardianStream {
     // the aggregate — the written rows are not exploded).
     val vocabMetric = for { _ <- cfg.qualityWindow; k <- cfg.vocabK } yield
       graft.expressions.MisraGriesAgg.textColumn(col("text"), k).as("vocab")
-    val metrics = baseMetrics ++ qualityMetric ++ vocabMetric
+    // The diversity bitmap rides the same observe() (gram-hashes inside
+    // the aggregate; constant 2·m bits of metric payload per epoch).
+    val divMetric = for { _ <- cfg.qualityWindow; dm <- cfg.diversityM } yield
+      graft.expressions.GramBitmapAgg.textColumn(col("text"), 3, dm).as("gdiv")
+    val metrics = baseMetrics ++ qualityMetric ++ vocabMetric ++ divMetric
     // Commit-path phase timing (bench diagnosis only; off unless
     // GRAFT_COMMIT_TIMING=1 in the environment).
     val timing = sys.env.get("GRAFT_COMMIT_TIMING").contains("1")
@@ -839,7 +943,9 @@ object GuardianStream {
         observed = qualityMetric.map(_ =>
           m("qwin").asInstanceOf[scala.collection.Map[Long, scala.collection.Seq[Long]]]),
         observedVocab = vocabMetric.map(_ =>
-          m("vocab").asInstanceOf[scala.collection.Map[String, Long]]))
+          m("vocab").asInstanceOf[scala.collection.Map[String, Long]]),
+        observedDiv = divMetric.map(_ =>
+          m("gdiv").asInstanceOf[scala.collection.Seq[Long]]))
     }
     publishSessions(batch.sparkSession, cfg, batchId)
     // Periodic partial compaction (idempotent, crash-safe: atomic

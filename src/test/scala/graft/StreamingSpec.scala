@@ -596,6 +596,52 @@ class StreamingSpec extends SparkSpec {
     assert(after == got, "vocab view changed under compaction")
   }
 
+  test("diversity monitor: bitmap equals batch distinct buckets exactly; compaction lossless") {
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 44,
+      stepSeconds = 120, burstLen = 1000)
+    val base = turnsDF(spec)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("dv-src")
+    writeBatches(src, Seq(
+      base.filter(unix_timestamp(col("ts")) <= mid),
+      base.filter(unix_timestamp(col("ts")) > mid)))
+    val m = 1024
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("dv-ck"), sinkDir = tmp("dv-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"), diversityM = Some(m))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    val got = GuardianStream.readDiversity(spark, cfg.sinkDir).collect()
+    assert(got.length == 1 && got(0).getInt(0) == m)
+    val (vOcc, est) = (got(0).getLong(1), got(0).getLong(2))
+
+    // OR of per-epoch bitmaps tracks distinct buckets EXACTLY: v_occ
+    // must equal the batch distinct (gram mod m) over the rows the
+    // pipeline actually committed — across epoch boundaries, merge
+    // trees, and the read-side fold
+    val sunk = IceLite.read(spark, cfg.sinkDir).select(col("text"))
+    val batchRow = graft.ops.TrainingDataOps
+      .gramCardinality(sunk.withColumn("g", lit("all")), n = 3, m = m,
+        strataCol = "g", textCol = "text")
+      .collect()(0)
+    assert(vOcc == batchRow.getLong(3),
+      s"monitor v_occ $vOcc != batch ${batchRow.getLong(3)}")
+    assert(est == batchRow.getLong(4),
+      s"monitor estimate $est != batch ${batchRow.getLong(4)}")
+    // the estimate is in the right ballpark of the true distinct count
+    val vTrue = batchRow.getLong(2)
+    assert(est > 0 && math.abs(est - vTrue) <= vTrue / 4,
+      s"linear-counting estimate $est vs true $vTrue")
+
+    // OR is order-free: the compacted view is identical by construction
+    assert(GuardianStream.compactQuality(cfg.sinkDir))
+    val after = GuardianStream.readDiversity(spark, cfg.sinkDir).collect()
+    assert(after.map(_.toString).toSeq == got.map(_.toString).toSeq,
+      "diversity view changed under compaction")
+  }
+
   test("late rows behind the watermark are dropped") {
     val spec = TranscriptSpec(nConvs = 4, turnsPerConv = 8, seed = 22,
       stepSeconds = 60, burstLen = 100)
