@@ -69,6 +69,47 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The guardian e2e PIPELINE RUN memoized per (JVM, sf dir): source
+    * write (with planted dups), the streaming run (watermark embed,
+    * dedup, exactly-once sink, diversity monitor), compaction + expiry —
+    * shared by `stream_guardian_e2e` (audit read-back + watermark
+    * verify) and `stream_diversity_e2e` (the monitor's merged view), so
+    * the second query costs a manifest fold, not a second pipeline.
+    * tmpfs when available: checkpoint WAL + sink commits on the virtual
+    * disk add seconds of writeback jitter. The returned sink is lazy
+    * over files, so scratch is reclaimed by the process-wide sweep at
+    * JVM exit.
+    */
+  private val e2eSinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def e2eGuardianSink(s: SparkSession, dir: String): String =
+    e2eSinkDirs.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Paths.get("/dev/shm")
+      val root = (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "graft-e2e")
+      else java.nio.file.Files.createTempDirectory("graft-e2e")).toString
+      e2eScratch.add(root)
+      val turns = e2eFixture(s, dir)
+      val withDups = turns.union(turns.filter(pmod(col("event_id"), lit(10L)) === 0))
+        .drop("event_id")
+      withDups.repartition(4).write.parquet(s"$root/src")
+      val cfg = graft.stream.GuardianStream.StreamConfig(
+        sourceDir = s"$root/src", checkpointDir = s"$root/ck",
+        sinkDir = s"$root/sink", watermarkPayload = "WM01",
+        watermarkDelay = "365 days", availableNow = true,
+        // the diversity monitor rides this run's quality sink; its
+        // merged view is oracled by stream_diversity_e2e
+        qualityWindow = Some("1 hour"), diversityM = Some(4096))
+      graft.stream.GuardianStream.start(s, cfg).awaitTermination()
+      // fold the epoch dirs + expire the superseded state BEFORE the
+      // read-back: the driver's hash-exact compare then certifies the
+      // COMPACTED read path end-to-end, not just the per-epoch one
+      graft.stream.IceLite.compact(s, cfg.sinkDir)
+      graft.stream.IceLite.expireCompacted(cfg.sinkDir)
+      cfg.sinkDir
+    })
+
   /** Scratch dirs of stream_guardian_e2e invocations, swept by ONE
     * process-wide shutdown hook (registered lazily on first use).
     */
@@ -447,33 +488,17 @@ object SparkEntry {
     // oracle restates dedup (exact-duplicate collapse), the bit embed,
     // per-conversation extraction and whole-byte repacking in SQL.
     "stream_guardian_e2e" -> ((s, dir) => {
-      // tmpfs when available: checkpoint WAL + sink commits on the
-      // virtual disk add seconds of writeback jitter to this query
-      val base = java.nio.file.Paths.get("/dev/shm")
-      val root = (if (java.nio.file.Files.isDirectory(base))
-        java.nio.file.Files.createTempDirectory(base, "graft-e2e")
-      else java.nio.file.Files.createTempDirectory("graft-e2e")).toString
-      // the returned frame is lazy over the sink files, so the scratch
-      // can only be reclaimed at JVM exit (tmpfs pages are RAM); ONE
-      // process-wide hook sweeps every invocation's scratch (a hook per
-      // invocation would accumulate across a long session)
-      e2eScratch.add(root)
-      val turns = e2eFixture(s, dir)
-      val withDups = turns.union(turns.filter(pmod(col("event_id"), lit(10L)) === 0))
-        .drop("event_id")
-      withDups.repartition(4).write.parquet(s"$root/src")
-      val cfg = graft.stream.GuardianStream.StreamConfig(
-        sourceDir = s"$root/src", checkpointDir = s"$root/ck",
-        sinkDir = s"$root/sink", watermarkPayload = "WM01",
-        watermarkDelay = "365 days", availableNow = true)
-      graft.stream.GuardianStream.start(s, cfg).awaitTermination()
-      // fold the epoch dirs + expire the superseded state BEFORE the
-      // read-back: the driver's hash-exact compare then certifies the
-      // COMPACTED read path end-to-end, not just the per-epoch one
-      graft.stream.IceLite.compact(s, cfg.sinkDir)
-      graft.stream.IceLite.expireCompacted(cfg.sinkDir)
-      val audit = graft.stream.IceLite.read(s, cfg.sinkDir)
+      val audit = graft.stream.IceLite.read(s, e2eGuardianSink(s, dir))
       Watermarker.verifyTurnTsPerConv(audit, "WM01").filter(col("verified"))
+    }),
+
+    // The standing corpus-diversity monitor's merged view over the SAME
+    // pipeline run (memoized sink): one row (m, v_occ, est_linear). The
+    // oracle recomputes the trigram bitmap from the expected sunk rows,
+    // so the driver's hash gate certifies the whole observe() → manifest
+    // → compaction → OR-fold path, not just the unit test.
+    "stream_diversity_e2e" -> ((s, dir) => {
+      graft.stream.GuardianStream.readDiversity(s, e2eGuardianSink(s, dir))
     }),
 
     // MinHash signatures (k=8) from a cross-engine-exact polynomial token
@@ -1088,6 +1113,38 @@ object SparkEntry {
     "w_roundtrip" -> wRoundtripOracle("WM01"),
 
     "stream_guardian_e2e" -> e2eOracle("WM01"),
+
+    // the diversity monitor's merged bitmap vs a from-first-principles
+    // restatement: rebuild the sunk rows' text from events (dup plants
+    // collapse in dedup; grams are per-row so they could not change the
+    // bitmap anyway), hash tokens, fold trigrams, count distinct mod-m
+    // buckets, apply the same floor-banked linear-counting estimate.
+    "stream_diversity_e2e" ->
+      s"""WITH base AS (
+         |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         |    event_id, event_type
+         |  FROM events
+         |), withrole AS (
+         |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+         |                 WHEN turn_idx % 2 = 1 THEN 'user'
+         |                 WHEN event_id % 5 = 0 THEN 'tool'
+         |                 ELSE 'assistant' END AS role
+         |  FROM base
+         |), txt AS (
+         |  SELECT '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+         |    conv_id || ' type ' || event_type ||
+         |    CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+         |  FROM withrole
+         |), h AS (SELECT $duckTokenHashes AS hs FROM txt),
+         |g AS (SELECT unnest(${duckGramExpr(3)}) AS gram FROM h),
+         |agg AS (SELECT CAST(count(DISTINCT gram % 4096) AS BIGINT) AS v_occ FROM g)
+         |SELECT CAST(4096 AS INTEGER) AS m, v_occ,
+         |  CASE WHEN v_occ >= 4096 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(floor(-4096.0 *
+         |      ln(CAST(4096 - v_occ AS DOUBLE) / 4096.0)) AS BIGINT)
+         |  END AS est_linear
+         |FROM agg""".stripMargin,
 
     "quality_windows" -> {
       val pii = s"(?:${graft.stream.Windows.piiEmailRe})|(?:${graft.stream.Windows.piiSsnRe})"
