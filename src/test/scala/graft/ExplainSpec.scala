@@ -116,6 +116,14 @@ class ExplainSpec extends SparkSpec {
       s"one-row corpus count must broadcast: $p")
   }
 
+  test("embedding_outliers: centroids and counts broadcast; no global sort") {
+    val p = plan("embedding_outliers")
+    assert(p.contains("BroadcastExchange"),
+      s"label centroids/counts must broadcast back: $p")
+    assert(!p.contains("rangepartitioning"),
+      s"ranking is per-label (local sort), never a global sort: $p")
+  }
+
   test("contamination_check: eval gram set broadcasts; training side never sort-merge-joins on grams") {
     val p = plan("contamination_check")
     assert(p.contains("BroadcastExchange"), "eval gram set must broadcast")
