@@ -810,6 +810,34 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(sat.getLong(4) == -1L, "v_occ = m reports -1")
   }
 
+  test("winnowing + cdc: seeded random corpus matches the driver models incl. empty tokens") {
+    // manual seeded generation (scalatestplus-scalacheck is not in the
+    // offline cache — CLAUDE.md): random token counts 0..29 from a small
+    // alphabet, with planted double/leading spaces so split()'s EMPTY
+    // tokens (hash 0) flow through both operators
+    val rnd = new scala.util.Random(1234)
+    val words = Array("alpha", "bb", "see", "dd", "eef", "f", "gg", "hij")
+    val fixtures = (0L until 60L).map { id =>
+      val toks = Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length)))
+      var text = toks.mkString(" ")
+      if (rnd.nextInt(4) == 0 && text.nonEmpty) text = text.replaceFirst(" ", "  ")
+      if (rnd.nextInt(5) == 0) text = " " + text
+      (id, text)
+    }
+    val docs = fixtures.toDF("doc_id", "text")
+    val w = TrainingDataOps.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    fixtures.foreach { case (id, text) =>
+      assert(w(id) == winnowExpected(text), s"winnow mismatch on doc $id: '$text'")
+    }
+    val c = TrainingDataOps.cdcChunks(docs, divisor = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    fixtures.foreach { case (id, text) =>
+      assert(c(id) == cdcExpected(text, 4), s"cdc mismatch on doc $id: '$text'")
+    }
+  }
+
   // --- embedding outliers --------------------------------------------------
 
   test("embedding outliers: planted far vector ranks first; d2 matches an integer-exact model") {
