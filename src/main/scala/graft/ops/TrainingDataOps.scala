@@ -1282,9 +1282,14 @@ object TrainingDataOps {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: df derives FROM tf — without the cache Catalyst inlines
+    // tf's lineage into df and the corpus is exploded+aggregated twice
+    // (verified in the physical plan); same bounded-lifetime contract as
+    // the shingle cache (Bench/Verify clear the catalog between queries)
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(df, "tok")
