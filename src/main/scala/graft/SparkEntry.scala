@@ -744,6 +744,14 @@ object SparkEntry {
         n = 3, m = 16384)
     }),
 
+    // Count-min-sketch frequency audit: top-20 exact trigram counts vs
+    // their CMS estimates (d=4, w=8192) — the over-counting dual of the
+    // Misra-Gries undercount.
+    "cms_frequency_audit" -> ((s, dir) => {
+      graft.ops.TrainingDataOps.cmsFrequencyAudit(
+        t(s, dir, "documents").select(col("text")), n = 3, w = 8192, topK = 20)
+    }),
+
     // Per-label embedding outliers: integer-quantized centroid distance,
     // top-3 per label (mislabel / contamination detection).
     "embedding_outliers" -> ((s, dir) => {
@@ -1887,6 +1895,30 @@ object SparkEntry {
          |      ln(CAST(16384 - v_occ AS DOUBLE) / 16384.0)) AS BIGINT)
          |  END AS est_linear
          |FROM agg""".stripMargin,
+
+    // count-min sketch restated: d=4 bucket rows per gram, additive
+    // counters summed from the exact gram-count table (identical totals
+    // to folding the raw stream), min over rows per probed gram.
+    "cms_frequency_audit" -> {
+      val a = graft.ops.TrainingDataOps.CmsA.mkString("[", ",", "]")
+      val b = graft.ops.TrainingDataOps.CmsB.mkString("[", ",", "]")
+      s"""WITH h AS (SELECT $duckTokenHashes AS hs FROM documents),
+         |g AS (SELECT unnest(${duckGramExpr(3)}) AS gram FROM h),
+         |cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+         |rj AS (
+         |  SELECT gram, c, j,
+         |    (($a[j+1] * gram + $b[j+1]) % 1000000007) % 8192 AS bucket
+         |  FROM cnt, range(0, 4) AS t(j)),
+         |counters AS (SELECT j, bucket, sum(c) AS bc FROM rj GROUP BY j, bucket),
+         |top AS (SELECT gram, c FROM cnt ORDER BY c DESC, gram LIMIT 20)
+         |SELECT t.gram AS gram, t.c AS c_exact,
+         |  CAST(min(co.bc) AS BIGINT) AS c_est,
+         |  CAST(min(co.bc) - t.c AS BIGINT) AS over_err
+         |FROM top t
+         |JOIN rj r ON r.gram = t.gram
+         |JOIN counters co ON co.j = r.j AND co.bucket = r.bucket
+         |GROUP BY t.gram, t.c""".stripMargin
+    },
 
     // embedding outliers: integer micro-unit quantization makes the
     // centroid exact; the squared-numerator fold runs in dim order (each

@@ -1563,4 +1563,53 @@ object TrainingDataOps {
       .select(col(labelCol), col("rk").cast("long").as("rk"),
         col(idCol), col("d2"))
   }
+  /** Count-min-sketch frequency audit — the OVER-counting dual of the
+    * Misra-Gries undercount (heavyHitterTokens) that completes the
+    * sketch-audit trilogy (MG: counts from below; CMS: counts from
+    * above; linear counting: cardinality). d=4 pairwise-independent
+    * hash rows of `w` additive counters; every gram adds its count to
+    * one bucket per row; a gram's estimate is the MIN over its d
+    * buckets — never below the true count, above it only by colliding
+    * mass (≤ 2N/w with probability 1 − 2⁻ᵈ per the standard bound).
+    * Reports the top-`topK` exact grams with their CMS estimates and
+    * over-errors, certifying the sketch parameters a streaming deploy
+    * would run without the exact side. Scale shape: the exact side is
+    * the vocabulary-sized gram count (the expensive audit baseline);
+    * the sketch side is a FIXED d×w counter table — additive, so at
+    * production scale it folds map-side from the raw gram stream (or
+    * rides observe(), like the diversity bitmap) with no distinct
+    * aggregation at all. The counter table broadcasts to the probe.
+    */
+  val CmsA: Seq[Long] = Seq(131L, 313L, 523L, 727L)
+  val CmsB: Seq[Long] = Seq(19L, 37L, 61L, 89L)
+
+  def cmsFrequencyAudit(docs: DataFrame, n: Int = 3, w: Int = 8192,
+      topK: Int = 20, textCol: String = "text"): DataFrame = {
+    import graft.expressions.PolyHashFunctions.tokenPolyHashes
+    // persisted: counters, the top-k prefix, and the probe rows all
+    // derive from the gram-count table (same bounded-lifetime contract
+    // as the shingle cache)
+    val cnt = docs.select(tokenPolyHashes(col(textCol)).as("hs"))
+      .select(explode(ngramHashCol(col("hs"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = CmsA.zip(CmsB).zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"),
+        ((lit(a) * col("gram") + lit(b)) % P % w).as("bucket"))
+    }
+    val rj = cnt
+      .select(col("gram"), col("c"), explode(array(buckets: _*)).as("jb"))
+      .select(col("gram"), col("c"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val counters = rj.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("bc"))
+    val top = cnt.orderBy(col("c").desc, col("gram")).limit(topK)
+    top
+      .join(rj.select(col("gram"), col("j"), col("bucket")), "gram")
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("gram"), col("c"))
+      .agg(min(col("bc")).as("c_est"))
+      .select(col("gram"), col("c").as("c_exact"), col("c_est"),
+        (col("c_est") - col("c")).as("over_err"))
+  }
 }

@@ -838,6 +838,40 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("cms frequency audit: estimates never under-count and match a driver-side sketch") {
+    val out = TrainingDataOps.cmsFrequencyAudit(
+      base.select(col("text")), n = 3, w = 64, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    // driver-side ground truth: same grams, same hash rows, w=64
+    val grams = base.collect().map(_.getString(1)).flatMap { text =>
+      val hs = text.split(" ", -1).map(ph)
+      (0 to hs.length - 3).map(i =>
+        ((hs(i) * 31 + hs(i + 1)) % P * 31 + hs(i + 2)) % P)
+    }
+    val cnt = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val counters = Array.fill(4)(new Array[Long](64))
+    cnt.foreach { case (g, c) =>
+      TrainingDataOps.CmsA.zip(TrainingDataOps.CmsB).zipWithIndex.foreach {
+        case ((a, b), j) => counters(j)(((a * g + b) % P % 64).toInt) += c
+      }
+    }
+    def est(g: Long): Long =
+      TrainingDataOps.CmsA.zip(TrainingDataOps.CmsB).zipWithIndex.map {
+        case ((a, b), j) => counters(j)(((a * g + b) % P % 64).toInt)
+      }.min
+    out.foreach { case (g, cExact, cEst, overErr) =>
+      assert(cExact == cnt(g), s"exact count of gram $g")
+      assert(cEst == est(g), s"CMS estimate of gram $g")
+      assert(overErr == cEst - cExact && overErr >= 0,
+        s"CMS never under-counts (gram $g: est $cEst exact $cExact)")
+    }
+    // the top-k MEMBERSHIP is the deterministic (count desc, gram asc)
+    // prefix (row order after the final groupBy is not defined)
+    val expTop = cnt.toSeq.sortBy { case (g, c) => (-c, g) }.take(10).map(_._1)
+    assert(out.map(_._1).toSet == expTop.toSet, "top-k prefix deterministic")
+  }
+
   // --- embedding outliers --------------------------------------------------
 
   test("embedding outliers: planted far vector ranks first; d2 matches an integer-exact model") {
