@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * the ENTIRE new corpus into the anti-join; the bloom plan shuffles only
   * the filter's positives (true dups + ~fpp of the rest), trading one
   * reference pass + a driver-held sketch for the bulk of the shuffle.
-  * Fixture: BLOOM_AB_NEW new docs (default 8M) against BLOOM_AB_REF
+  * Fixture: BLOOM_AB_NEW new docs (default 2M) against BLOOM_AB_REF
   * reference docs (default 1M), 2% planted exact dups, both materialized
   * to parquet so each variant pays the same scan. Variants interleaved
   * per round; result counts asserted equal every round.

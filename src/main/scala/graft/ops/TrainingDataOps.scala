@@ -1267,10 +1267,15 @@ object TrainingDataOps {
 
   /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
     * feature op. The idf is banked to INTEGER micro-nats
-    * (floor(ln(N/df)·10⁶)) before the tf multiply so the ranking key
-    * `score = tf · idf_micro` is integer-exact on both engines — a raw
-    * double product can flip equal-score ranks in the last ulp across
-    * libm implementations. Ties break on the term itself.
+    * (floor(ln(N/df)·10⁶)) before the tf multiply so equal-idf terms
+    * carry the IDENTICAL integer ranking key on both engines — with a
+    * raw double product, equal scores (the common case: same tf, same
+    * df) differ in the last ulp across libm implementations and flip
+    * ranks routinely. Residual risk: ln itself is 1-ulp accurate, not
+    * correctly rounded, so floor can still differ iff ln(N/df)·10⁶
+    * lands within ~1e-10 of an integer — a measure-zero boundary per
+    * distinct df, vs the every-tie exposure of raw doubles. Ties break
+    * on the term itself.
     *
     * Scale shape: tf is one map-side-combinable aggregate over exploded
     * tokens; df aggregates the tf table (already one row per (doc,term))
@@ -1383,7 +1388,12 @@ object TrainingDataOps {
     */
   def temperatureMixWeights(docs: DataFrame, strataCol: String = "lang",
       alpha: Double = 0.5): DataFrame = {
-    val s = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    // NULL strata dropped (the rebalanceSample rule): they define no
+    // mixing target, and Spark's array_sort orders a null struct field
+    // FIRST while DuckDB's ORDER BY puts NULL last — a null stratum
+    // would silently reorder the normalizer fold across engines.
+    val s = docs.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
       .withColumn("__s",
         if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
         else if (alpha == 1.0) col("n_docs").cast("double")
@@ -1426,13 +1436,26 @@ object TrainingDataOps {
   def exactCrossDedup(newDocs: DataFrame, refDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       bloomItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val key = xxhash64(col(textCol))
-    val ref = refDocs.select(key.as("__k")).distinct()
-    val base = newDocs.withColumn("__k", key)
+    // 128-bit join key (two chained xxhash64 longs — the streaming
+    // dedupRows precedent): a single 64-bit hash reaches ~50% collision
+    // odds around 5e9 docs, i.e. exactly the corpus size this op is for,
+    // and a collision FALSE-DROPS a unique document. Pairwise conflation
+    // at 128 bits is 2^-128. Null-text reference rows are excluded so a
+    // null-text new row can never be dropped by the hash-of-null
+    // sentinel (SQL equality on nulls never matches; the oracle's
+    // NOT EXISTS r.text = n.text keeps such rows too).
+    val k1 = xxhash64(col(textCol))
+    val k2 = xxhash64(lit("graft-x2"), col(textCol))
+    val keys = Seq("__k1", "__k2")
+    val ref = refDocs.filter(col(textCol).isNotNull)
+      .select(k1.as("__k1"), k2.as("__k2")).distinct()
+    val base = newDocs.withColumn("__k1", k1).withColumn("__k2", k2)
     val filtered =
-      if (bloomItems <= 0L) base.join(ref, Seq("__k"), "left_anti")
+      if (bloomItems <= 0L) base.join(ref, keys, "left_anti")
       else {
-        val bf = ref.stat.bloomFilter("__k", bloomItems, fpp)
+        // the bloom pre-filters on the FIRST hash only (one long per
+        // probe); the exact anti-join on both keys resolves positives
+        val bf = ref.stat.bloomFilter("__k1", bloomItems, fpp)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         import org.apache.spark.sql.graftbridge.CatalystBridge
@@ -1441,13 +1464,13 @@ object TrainingDataOps {
             org.apache.spark.sql.catalyst.expressions.Literal
               .create(bos.toByteArray,
                 org.apache.spark.sql.types.BinaryType),
-            CatalystBridge.expression(col("__k"))))
+            CatalystBridge.expression(col("__k1"))))
         // definitely-absent rows bypass the shuffle entirely; only
         // bloom-positive rows pay the exact anti-join
         base.filter(!might).unionByName(
-          base.filter(might).join(ref, Seq("__k"), "left_anti"))
+          base.filter(might).join(ref, keys, "left_anti"))
       }
-    filtered.drop("__k")
+    filtered.drop("__k1").drop("__k2")
   }
 
   /** MinHash estimator audit: for every LSH candidate pair, the Jaccard

@@ -101,7 +101,9 @@ object GuardianStream {
       // commutative, so the merged view is independent of epoch
       // boundaries and compaction order; `readDiversity` reports the
       // exact occupied-slot count and the linear-counting estimate.
-      // Must be a positive multiple of 64 (m bits = m/64 longs).
+      // Must be a positive multiple of 64 (m bits = m/64 longs) and must
+      // NOT change across restarts of one sink — both the read fold and
+      // compaction reject mixed bitmap sizes.
       diversityM: Option[Int] = None)
 
   /** The per-batch text-length spec driving the micro-batch validation
@@ -665,6 +667,11 @@ object GuardianStream {
       divOf(mapper, path).foreach { case (m2, w) =>
         if (dacc == null) { divM = m2; dacc = w.clone() }
         else {
+          // same guard as readDiversity: a diversityM change across
+          // restarts must fail HERE, before a mixed-moduli bitmap (or an
+          // index overflow) becomes durable in the compacted manifest
+          require(m2 == divM,
+            s"diversity bitmap size changed mid-stream: $m2 vs $divM")
           var i = 0
           while (i < dacc.length) { dacc(i) |= w(i); i += 1 }
         }

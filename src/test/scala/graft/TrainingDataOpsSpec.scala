@@ -751,19 +751,24 @@ class TrainingDataOpsSpec extends SparkSpec {
   // --- exact cross dedup + bloom pre-filter --------------------------------
 
   test("exact cross dedup: bloom-prefiltered plan returns exactly the plain anti-join") {
-    val ref = (0L until 300L).map(i => (i, s"ref doc number $i with body")).toDF("doc_id", "text")
-    val newD = (1000L until 1400L).map { i =>
+    // null-text rows on BOTH sides: SQL equality never matches nulls, so
+    // the null new doc must be KEPT (the hash-of-null sentinel must not
+    // conflate them — ref nulls are excluded before keying)
+    val ref = ((0L until 300L).map(i => (i, s"ref doc number $i with body")) :+
+      (900L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newD = ((1000L until 1400L).map { i =>
       val t = if (i % 5 == 0) s"ref doc number ${i % 300} with body" // planted dup of ref
       else s"new doc $i fresh content"
       (i, t)
-    }.toDF("doc_id", "text")
+    } :+ (1900L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val plain = TrainingDataOps.exactCrossDedup(newD, ref).collect()
       .map(_.getLong(0)).sorted
     val bloomed = TrainingDataOps.exactCrossDedup(newD, ref, bloomItems = 300L, fpp = 0.05)
       .collect().map(_.getLong(0)).sorted
     assert(plain.toSeq == bloomed.toSeq, "bloom prefilter never changes the result")
-    assert(plain.length == 320, s"80 planted dups dropped (got ${plain.length})")
+    assert(plain.length == 321, s"80 planted dups dropped, null kept (got ${plain.length})")
     assert(!plain.contains(1000L) && plain.contains(1001L), "dup dropped, fresh kept")
+    assert(plain.contains(1900L), "null-text new doc is never dropped")
   }
 
   // --- sketch-quality audits ---------------------------------------------
