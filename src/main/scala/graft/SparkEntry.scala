@@ -98,9 +98,11 @@ object SparkEntry {
         sourceDir = s"$root/src", checkpointDir = s"$root/ck",
         sinkDir = s"$root/sink", watermarkPayload = "WM01",
         watermarkDelay = "365 days", availableNow = true,
-        // the diversity monitor rides this run's quality sink; its
-        // merged view is oracled by stream_diversity_e2e
-        qualityWindow = Some("1 hour"), diversityM = Some(4096))
+        // the diversity + CMS monitors ride this run's quality sink;
+        // their merged views are oracled by stream_diversity_e2e and
+        // stream_cms_e2e
+        qualityWindow = Some("1 hour"), diversityM = Some(4096),
+        cmsW = Some(1024))
       graft.stream.GuardianStream.start(s, cfg).awaitTermination()
       // fold the epoch dirs + expire the superseded state BEFORE the
       // read-back: the driver's hash-exact compare then certifies the
@@ -760,6 +762,14 @@ object SparkEntry {
           col("embedding")), k = 3)
     }),
 
+    // The standing CMS frequency monitor probed at fixed tokens over the
+    // same memoized pipeline run — summed counters are partition-
+    // independent, so the view is exactly restatable by the oracle.
+    "stream_cms_e2e" -> ((s, dir) => {
+      graft.stream.GuardianStream.readCms(s, e2eGuardianSink(s, dir),
+        Seq("turn", "of", "type", "[user]", "ssn", "zz-absent-token"))
+    }),
+
     // Exact cross-corpus dedup THROUGH the Bloom-prefiltered plan (ref =
     // even doc_ids): bloom positives resolved by the exact anti-join, so
     // the result must equal the oracle's plain NOT EXISTS.
@@ -1153,6 +1163,49 @@ object SparkEntry {
          |      ln(CAST(4096 - v_occ AS DOUBLE) / 4096.0)) AS BIGINT)
          |  END AS est_linear
          |FROM agg""".stripMargin,
+
+    // the standing CMS restated: per-occurrence token hashes of the sunk
+    // rows' non-empty tokens (MG-parity tokenization), d=4 additive
+    // bucket counts at w=1024, probes answered by min over rows (LEFT
+    // JOIN: an absent probe's bucket may hold no counter row -> 0).
+    "stream_cms_e2e" -> {
+      val a = graft.ops.TrainingDataOps.CmsA.mkString("[", ",", "]")
+      val b = graft.ops.TrainingDataOps.CmsB.mkString("[", ",", "]")
+      def bucketed(h: String) =
+        s"(($a[j+1] * $h + $b[j+1]) % 1000000007) % 1024"
+      s"""WITH base AS (
+         |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         |    event_id, event_type
+         |  FROM events
+         |), withrole AS (
+         |  SELECT *, CASE WHEN turn_idx = 0 THEN 'system'
+         |                 WHEN turn_idx % 2 = 1 THEN 'user'
+         |                 WHEN event_id % 5 = 0 THEN 'tool'
+         |                 ELSE 'assistant' END AS role
+         |  FROM base
+         |), txt AS (
+         |  SELECT '[' || role || '] turn ' || CAST(turn_idx AS VARCHAR) || ' of ' ||
+         |    conv_id || ' type ' || event_type ||
+         |    CASE WHEN event_id % 50 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+         |  FROM withrole
+         |), tok AS (
+         |  SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t FROM txt)
+         |  WHERE t <> ''
+         |), th AS (SELECT ${duckPolyHash("t")} AS h FROM tok),
+         |rj AS (SELECT h, j, ${bucketed("h")} AS bucket
+         |       FROM th, range(0, 4) AS r(j)),
+         |counters AS (SELECT j, bucket, count(*) AS c FROM rj GROUP BY j, bucket),
+         |probes(token) AS (VALUES ('turn'), ('of'), ('type'), ('[user]'),
+         |                         ('ssn'), ('zz-absent-token')),
+         |ph AS (SELECT token, ${duckPolyHash("token")} AS h FROM probes),
+         |pj AS (SELECT token, j, ${bucketed("h")} AS bucket
+         |       FROM ph, range(0, 4) AS r(j))
+         |SELECT p.token AS token,
+         |  CAST(min(COALESCE(co.c, 0)) AS BIGINT) AS cms_upper
+         |FROM pj p LEFT JOIN counters co ON co.j = p.j AND co.bucket = p.bucket
+         |GROUP BY p.token""".stripMargin
+    },
 
     "quality_windows" -> {
       val pii = s"(?:${graft.stream.Windows.piiEmailRe})|(?:${graft.stream.Windows.piiSsnRe})"

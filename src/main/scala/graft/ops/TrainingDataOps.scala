@@ -1603,8 +1603,10 @@ object TrainingDataOps {
     * rides observe(), like the diversity bitmap) with no distinct
     * aggregation at all. The counter table broadcasts to the probe.
     */
-  val CmsA: Seq[Long] = Seq(131L, 313L, 523L, 727L)
-  val CmsB: Seq[Long] = Seq(19L, 37L, 61L, 89L)
+  // canonical home is the streaming aggregate — same rows keep the
+  // batch audit and the standing monitor's sketches interchangeable
+  val CmsA: Seq[Long] = graft.expressions.CmsTextAgg.A
+  val CmsB: Seq[Long] = graft.expressions.CmsTextAgg.B
 
   def cmsFrequencyAudit(docs: DataFrame, n: Int = 3, w: Int = 8192,
       topK: Int = 20, textCol: String = "text"): DataFrame = {

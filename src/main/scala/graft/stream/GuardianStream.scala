@@ -104,7 +104,16 @@ object GuardianStream {
       // Must be a positive multiple of 64 (m bits = m/64 longs) and must
       // NOT change across restarts of one sink — both the read fold and
       // compaction reject mixed bitmap sizes.
-      diversityM: Option[Int] = None)
+      diversityM: Option[Int] = None,
+      // When set (rides the quality sink — requires qualityWindow), each
+      // epoch also lands a count-min sketch over the sunk tokens (d=4
+      // rows x cmsW additive counters, CmsTextAgg). Paired with vocabK,
+      // `readVocabBracket` gives every Misra–Gries candidate a two-sided
+      // count bracket: MG never over-counts, CMS never under-counts.
+      // Counter merge is exact long addition (order-free), so the merged
+      // sketch — and its compaction — is independent of epoch
+      // boundaries. Must not change across restarts of one sink.
+      cmsW: Option[Int] = None)
 
   /** The per-batch text-length spec driving the micro-batch validation
     * report (the streaming analog of validate_dataset's fixed ranges,
@@ -178,7 +187,8 @@ object GuardianStream {
       batchId: Long,
       observed: Option[scala.collection.Map[Long, scala.collection.Seq[Long]]],
       observedVocab: Option[scala.collection.Map[String, Long]] = None,
-      observedDiv: Option[scala.collection.Seq[Long]] = None): Unit = {
+      observedDiv: Option[scala.collection.Seq[Long]] = None,
+      observedCms: Option[scala.collection.Seq[Long]] = None): Unit = {
     val window = cfg.qualityWindow.getOrElse(return)
     val root = qualityRoot(cfg)
     if (IceLite.isCommitted(root, batchId)) return
@@ -239,6 +249,24 @@ object GuardianStream {
           }
       }
     }
+    // CMS token counters (when configured): observed partial or the
+    // recovery re-derivation; an empty epoch lands all-zero counters
+    // (the additive-merge identity).
+    val cms: Option[Array[Long]] = cfg.cmsW.map { cw =>
+      observedCms match {
+        case Some(s) => s.toArray
+        case None =>
+          epochDataDir(cfg, batchId) match {
+            case None =>
+              new Array[Long](graft.expressions.CmsTextAgg.A.length * cw)
+            case Some(dataDir) =>
+              spark.read.parquet(dataDir)
+                .agg(graft.expressions.CmsTextAgg
+                  .textColumn(org.apache.spark.sql.functions.col("text"), cw).as("c"))
+                .collect()(0).getSeq[Long](0).toArray
+          }
+      }
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("batch_id", batchId)
@@ -266,9 +294,94 @@ object GuardianStream {
       val da = node.putArray("div")
       words.foreach(da.add)
     }
+    cms.foreach { counters =>
+      node.put("cms_w", cfg.cmsW.get)
+      val ca = node.putArray("cms")
+      counters.foreach(ca.add)
+    }
     IceLite.commitIO.publishIfAbsent(
       qualityManifestPath(root, batchId), mapper.writeValueAsString(node))
     ()
+  }
+
+  /** (w, counters) of one quality manifest's CMS block, or None. */
+  private def cmsOf(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      path: java.nio.file.Path): Option[(Int, Array[Long])] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(path))
+    Option(node.get("cms_w")).map { wn =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      Option(node.get("cms")).foreach(_.elements().forEachRemaining { vn =>
+        out += vn.asLong()
+      })
+      wn.asInt() -> out.toArray
+    }
+  }
+
+  /** Bracketed standing heavy-hitter view: every Misra–Gries candidate
+    * token with its two-sided count bracket over everything ever sunk —
+    * `mg_lower` (the MG counter; never over-counts) and `cms_upper`
+    * (the merged CMS probe; never under-counts), so
+    * mg_lower ≤ true count ≤ cms_upper without ever recounting rows.
+    * Requires both `vocabK` and `cmsW` on the running config. The MG
+    * side folds in the compaction-pinned order; the CMS side sums
+    * order-free.
+    */
+  /** The merged (w, counters) CMS of a sink's quality manifests —
+    * compacted state + residual epochs summed (exact long addition,
+    * order-free), with the same mid-stream width guard as compaction.
+    */
+  private def mergedCms(sinkDir: String): Option[(Int, Array[Long])] = {
+    val root = java.nio.file.Paths.get(sinkDir, "quality").toString
+    val (latest, residual) = qualitySources(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var cw = 0
+    var counters: Array[Long] = null
+    def cfold(path: java.nio.file.Path): Unit =
+      cmsOf(mapper, path).foreach { case (w2, c) =>
+        if (counters == null) { cw = w2; counters = c.clone() }
+        else {
+          require(w2 == cw, s"CMS width changed mid-stream: $w2 vs $cw")
+          var i = 0
+          while (i < counters.length) { counters(i) += c(i); i += 1 }
+        }
+      }
+    latest.foreach(u => cfold(compactQualityPath(root, u)))
+    residual.foreach(b => cfold(qualityManifestPath(root, b)))
+    Option(counters).map(cw -> _)
+  }
+
+  def readVocabBracket(spark: SparkSession, sinkDir: String): DataFrame = {
+    import spark.implicits._
+    val merged = mergedCms(sinkDir)
+    val mg = readVocab(spark, sinkDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    merged match {
+      case Some((cw, counters)) if mg.nonEmpty =>
+        mg.toSeq.map { case (t, lower) =>
+          (t, lower, graft.expressions.CmsTextAgg.probe(counters, cw, t))
+        }.toDF("token", "mg_lower", "cms_upper")
+      case _ =>
+        Seq.empty[(String, Long, Long)].toDF("token", "mg_lower", "cms_upper")
+    }
+  }
+
+  /** Point-probe the merged CMS for CALLER-CHOSEN tokens — unlike the
+    * Misra–Gries candidate set (which legitimately varies with
+    * partitioning), the summed counters are partition-independent, so
+    * this view is exactly restatable from the sunk rows (the
+    * stream_cms_e2e oracle). Estimates never under-count.
+    */
+  def readCms(spark: SparkSession, sinkDir: String,
+      tokens: Seq[String]): DataFrame = {
+    import spark.implicits._
+    mergedCms(sinkDir) match {
+      case Some((cw, counters)) =>
+        tokens.map(t =>
+          (t, graft.expressions.CmsTextAgg.probe(counters, cw, t)))
+          .toDF("token", "cms_upper")
+      case None => Seq.empty[(String, Long)].toDF("token", "cms_upper")
+    }
   }
 
   /** (m, bitmap words) of one quality manifest's diversity block, or
@@ -676,15 +789,30 @@ object GuardianStream {
           while (i < dacc.length) { dacc(i) |= w(i); i += 1 }
         }
       }
+    // CMS counters fold by exact long addition — order-free like the
+    // bitmap; same mid-stream width guard as the read side.
+    var cmsW = 0
+    var cacc: Array[Long] = null
+    def cfold(path: java.nio.file.Path): Unit =
+      cmsOf(mapper, path).foreach { case (w2, c) =>
+        if (cacc == null) { cmsW = w2; cacc = c.clone() }
+        else {
+          require(w2 == cmsW, s"CMS width changed mid-stream: $w2 vs $cmsW")
+          var i = 0
+          while (i < cacc.length) { cacc(i) += c(i); i += 1 }
+        }
+      }
     latest.foreach { u =>
       qualityPartialsOf(mapper, compactQualityPath(root, u)).foreach(fold)
       vfold(compactQualityPath(root, u))
       dfold(compactQualityPath(root, u))
+      cfold(compactQualityPath(root, u))
     }
     residual.foreach { b =>
       qualityPartialsOf(mapper, qualityManifestPath(root, b)).foreach(fold)
       vfold(qualityManifestPath(root, b))
       dfold(qualityManifestPath(root, b))
+      cfold(qualityManifestPath(root, b))
     }
     val node = mapper.createObjectNode()
     node.put("upto_batch", upTo)
@@ -711,6 +839,11 @@ object GuardianStream {
       node.put("div_m", divM)
       val da = node.putArray("div")
       dacc.foreach(da.add)
+    }
+    if (cmsW > 0) {
+      node.put("cms_w", cmsW)
+      val ca = node.putArray("cms")
+      cacc.foreach(ca.add)
     }
     IceLite.commitIO.publishIfAbsent(
       compactQualityPath(root, upTo), mapper.writeValueAsString(node))
@@ -890,7 +1023,9 @@ object GuardianStream {
     // the aggregate; constant 2·m bits of metric payload per epoch).
     val divMetric = for { _ <- cfg.qualityWindow; dm <- cfg.diversityM } yield
       graft.expressions.GramBitmapAgg.textColumn(col("text"), 3, dm).as("gdiv")
-    val metrics = baseMetrics ++ qualityMetric ++ vocabMetric ++ divMetric
+    val cmsMetric = for { _ <- cfg.qualityWindow; cw <- cfg.cmsW } yield
+      graft.expressions.CmsTextAgg.textColumn(col("text"), cw).as("gcms")
+    val metrics = baseMetrics ++ qualityMetric ++ vocabMetric ++ divMetric ++ cmsMetric
     // Commit-path phase timing (bench diagnosis only; off unless
     // GRAFT_COMMIT_TIMING=1 in the environment).
     val timing = sys.env.get("GRAFT_COMMIT_TIMING").contains("1")
@@ -952,7 +1087,9 @@ object GuardianStream {
         observedVocab = vocabMetric.map(_ =>
           m("vocab").asInstanceOf[scala.collection.Map[String, Long]]),
         observedDiv = divMetric.map(_ =>
-          m("gdiv").asInstanceOf[scala.collection.Seq[Long]]))
+          m("gdiv").asInstanceOf[scala.collection.Seq[Long]]),
+        observedCms = cmsMetric.map(_ =>
+          m("gcms").asInstanceOf[scala.collection.Seq[Long]]))
     }
     publishSessions(batch.sparkSession, cfg, batchId)
     // Periodic partial compaction (idempotent, crash-safe: atomic

@@ -596,6 +596,51 @@ class StreamingSpec extends SparkSpec {
     assert(after == got, "vocab view changed under compaction")
   }
 
+  test("bracketed heavy hitters: MG lower <= exact <= CMS upper for every candidate; compaction lossless") {
+    val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 51,
+      stepSeconds = 120, burstLen = 1000)
+    val base = turnsDF(spec)
+    val mid = base.agg(expr("percentile_approx(unix_timestamp(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val src = tmp("bk-src")
+    writeBatches(src, Seq(
+      base.filter(unix_timestamp(col("ts")) <= mid),
+      base.filter(unix_timestamp(col("ts")) > mid)))
+    val cfg = GuardianStream.StreamConfig(
+      sourceDir = src, checkpointDir = tmp("bk-ck"), sinkDir = tmp("bk-sink"),
+      watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
+      availableNow = true, qualityWindow = Some("1 hour"),
+      vocabK = Some(12), cmsW = Some(256))
+    GuardianStream.start(spark, cfg).awaitTermination()
+
+    val got = GuardianStream.readVocabBracket(spark, cfg.sinkDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "candidates present")
+
+    // exact counts over the rows the pipeline actually committed
+    val exact = IceLite.read(spark, cfg.sinkDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, lower, upper) =>
+      val c = exact.getOrElse(t, 0L)
+      assert(lower <= c, s"MG must never over-count '$t': $lower > $c")
+      assert(upper >= c, s"CMS must never under-count '$t': $upper < $c")
+    }
+    // the bracket is two-sided: at w=256 over this small vocabulary the
+    // CMS is near-exact, so the interval is informative, not vacuous
+    assert(got.exists { case (_, lower, upper) => upper - lower < upper },
+      "brackets are finite")
+
+    // CMS sums are order-free; MG folds in the pinned order — the whole
+    // bracketed view must be identical before and after compaction
+    assert(GuardianStream.compactQuality(cfg.sinkDir))
+    val after = GuardianStream.readVocabBracket(spark, cfg.sinkDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSet == got.toSet, "bracketed view changed under compaction")
+  }
+
   test("diversity monitor: bitmap equals batch distinct buckets exactly; compaction lossless") {
     val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 44,
       stepSeconds = 120, burstLen = 1000)
