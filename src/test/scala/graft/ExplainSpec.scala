@@ -116,6 +116,14 @@ class ExplainSpec extends SparkSpec {
       s"one-row corpus count must broadcast: $p")
   }
 
+  test("cms_frequency_audit: top-k via TakeOrdered, counter table broadcasts") {
+    val p = plan("cms_frequency_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact top-k prefix must never globally sort the vocabulary: $p")
+    assert(p.contains("BroadcastExchange"),
+      s"the fixed d x w counter table must broadcast to the probe: $p")
+  }
+
   test("embedding_outliers: centroids and counts broadcast; no global sort") {
     val p = plan("embedding_outliers")
     assert(p.contains("BroadcastExchange"),
