@@ -1425,6 +1425,12 @@ object TrainingDataOps {
     * memory for shuffle volume. The new corpus is scanned twice (clean
     * branch + maybe branch).
     *
+    * STREAMING: `newDocs` may be a streaming DataFrame — both shapes
+    * plan as a stream-static anti-join against the reference snapshot
+    * (the bloom adds only a static literal filter and a self-union),
+    * giving continuous-ingest dedup against yesterday's corpus with no
+    * state store at all (StreamingSpec pins stream ≡ batch for both).
+    *
     * DEFAULT IS OFF, by measurement (BASELINE.md, graft.BloomAb): on a
     * single node the shuffle runs at ~scan bandwidth, so the bytes the
     * filter avoids cost less than the reference pass + second scan it

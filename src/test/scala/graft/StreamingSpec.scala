@@ -596,6 +596,40 @@ class StreamingSpec extends SparkSpec {
     assert(after == got, "vocab view changed under compaction")
   }
 
+  test("cross-corpus dedup runs stream-static: streaming new docs anti-join a reference snapshot") {
+    import spark.implicits._
+    val ref = (0L until 200L).map(i => (i, s"reference doc $i body"))
+      .toDF("doc_id", "text")
+    val newRows = (1000L until 1200L).map { i =>
+      val t = if (i % 4 == 0) s"reference doc ${i % 200} body" // dup of ref
+      else s"incoming doc $i content"
+      (i, t)
+    }
+    val src = tmp("xd-src")
+    writeBatches(src, Seq(
+      newRows.take(100).toDF("doc_id", "text"),
+      newRows.drop(100).toDF("doc_id", "text")))
+    val expected = newRows.filterNot(_._2.startsWith("reference")).map(_._1).sorted
+    // bloom OFF and ON: both shapes must plan as a stream-static
+    // anti-join (the bloom adds only a static literal filter + union)
+    for (bloomItems <- Seq(0L, 200L)) {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val out = graft.ops.TrainingDataOps.exactCrossDedup(
+        stream, ref, bloomItems = bloomItems, fpp = 0.05)
+      val sink = tmp(s"xd-out-$bloomItems")
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", tmp(s"xd-ck-$bloomItems"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(sink).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == expected,
+        s"stream-static cross-dedup (bloomItems=$bloomItems) equals the batch anti-join")
+    }
+  }
+
   test("bracketed heavy hitters: MG lower <= exact <= CMS upper for every candidate; compaction lossless") {
     val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 51,
       stepSeconds = 120, burstLen = 1000)
