@@ -418,7 +418,12 @@ class StreamingSpec extends SparkSpec {
     val cfg = GuardianStream.StreamConfig(
       sourceDir = src, checkpointDir = tmp("race-ck"), sinkDir = tmp("race-sink"),
       watermarkDelay = "365 days", maxFilesPerTrigger = Some(1),
-      availableNow = true, sessionGap = Some("30 minutes"))
+      availableNow = true, sessionGap = Some("30 minutes"),
+      // all three monitor blocks ride the raced quality manifests: the
+      // MG fold is deterministic given the same inputs and the div/cms
+      // merges are order-free, so racing compactors must publish
+      // identical content for every block
+      vocabK = Some(8), diversityM = Some(512), cmsW = Some(128))
     GuardianStream.start(spark, cfg).awaitTermination()
 
     def race2(f: () => Boolean): Seq[Boolean] = {
@@ -458,13 +463,19 @@ class StreamingSpec extends SparkSpec {
     assert(canonS() == sBefore, "session read unchanged under racing compactors")
     assert(countDirs(sRoot) == 1, "loser removed its orphan session dir")
 
-    // quality partials (driver-side JSON fold — identical content either way)
-    def canonQ(): Set[String] = GuardianStream.readQuality(spark, cfg.sinkDir)
-      .collect().map(_.toString).toSet
+    // quality partials + all three monitor views (driver-side JSON fold
+    // — identical content either way)
+    def canonQ(): Set[String] =
+      (GuardianStream.readQuality(spark, cfg.sinkDir).collect() ++
+        GuardianStream.readVocab(spark, cfg.sinkDir).collect() ++
+        GuardianStream.readDiversity(spark, cfg.sinkDir).collect() ++
+        GuardianStream.readVocabBracket(spark, cfg.sinkDir).collect())
+        .map(_.toString).toSet
     val qBefore = canonQ()
     val qWins = race2(() => GuardianStream.compactQuality(cfg.sinkDir))
     assert(qWins.count(identity) == 1, s"exactly one quality winner: $qWins")
-    assert(canonQ() == qBefore, "quality read unchanged under racing compactors")
+    assert(canonQ() == qBefore,
+      "quality + monitor views unchanged under racing compactors")
 
     // expiry after the races sweeps folded epochs and leaves the winners
     assert(GuardianStream.expireFolded(cfg.sinkDir) > 0)
