@@ -746,6 +746,18 @@ object SparkEntry {
         n = 3, m = 16384)
     }),
 
+    // Batched IVF probe: every vec_id % 50 == 0 queries the index at
+    // once — ANN as a cell-keyed join, per-query top-3.
+    "ann_batch_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.ops.TrainingDataOps.ivfBatchTopK(
+        emb,
+        "vec_id",
+        emb.filter(pmod(col("vec_id"), lit(50L)) === 0)
+          .select(col("vec_id").as("qid")),
+        k = 3, nCentroids = Some(16), nProbe = Some(4))
+    }),
+
     // Count-min-sketch frequency audit: top-20 exact trigram counts vs
     // their CMS estimates (d=4, w=8192) — the over-counting dual of the
     // Misra-Gries undercount.
@@ -2173,6 +2185,45 @@ object SparkEntry {
 
     "ann_ivf_kmeans_topk" -> ivfKMeansOracle(
       nCentroids = 16, nProbe = 4, k = 10, quant = 10000, dim = 64),
+
+    // batched probe: the single-query CTE chain with a queries table;
+    // candidates only ever come from the probed cells.
+    "ann_batch_topk" ->
+      """WITH vec AS (
+        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vid AS cid, e AS ce, nrm AS cnrm FROM vec WHERE vid BETWEEN 1 AND 16),
+        |q AS (SELECT vid AS qid, e AS qe, nrm AS qnrm FROM vec WHERE vid % 50 = 0),
+        |scored AS (
+        |  SELECT v.vid, c.cid, list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) AS score
+        |  FROM vec v, cent c),
+        |assigned AS (
+        |  SELECT vid, cid FROM (
+        |    SELECT vid, cid,
+        |      row_number() OVER (PARTITION BY vid ORDER BY score DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_dot_product(q.qe, c.ce) / (q.qnrm * c.cnrm) DESC,
+        |          c.cid) AS rn
+        |    FROM q, cent c) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.vid,
+        |    round(list_dot_product(v.e, qq.qe) / (v.nrm * qq.qnrm), 6) AS cosine
+        |  FROM qprobe p
+        |  JOIN assigned a ON a.cid = p.cid
+        |  JOIN vec v ON v.vid = a.vid
+        |  JOIN q qq ON qq.qid = p.qid
+        |  WHERE a.vid <> p.qid)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vid AS vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vid) AS rk
+        |  FROM cand)
+        |WHERE rk <= 3""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

@@ -1140,6 +1140,59 @@ object TrainingDataOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Batched IVF probe — ANN as a data-pipeline JOIN: a whole TABLE of
+    * query vectors probes the index at once (the shape ANN-based dedup
+    * and retrieval actually run, where the single-query forms above are
+    * the latency path). Same simple coarse quantizer as `ivfTopK` (cells
+    * = vectors 1..nCells, oracle-expressible); each query selects its
+    * nProbe best cells, candidates come from a cell-keyed JOIN of the
+    * query-probe table against the assignment table — never query ×
+    * corpus — and the per-query top-k ranks inside qid partitions.
+    * Scale shape: centroids broadcast (≤ √n rows), ONE shuffle keyed on
+    * the cell id sized |queries|·nProbe + n, and the ranking windows
+    * parallelize across queries. `queryIds` must have one column `qid`.
+    */
+  def ivfBatchTopK(df: DataFrame, idCol: String, queryIds: DataFrame,
+      k: Int, nCentroids: Option[Int] = None,
+      nProbe: Option[Int] = None): DataFrame = {
+    import graft.expressions.ArrayDotFunctions.arrayDot
+    import org.apache.spark.sql.expressions.Window
+    val (nCells, nPr) = ivfParams(df, nCentroids, nProbe)
+    val vec = df.select(
+      col(idCol).as("vid"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(arrayDot(col("e"), col("e"))))
+    val cent = vec.filter(col("vid") >= 1 && col("vid") <= nCells)
+      .select(col("vid").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val scored = vec.crossJoin(broadcast(cent))
+      .withColumn("score",
+        arrayDot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+    val assigned = scored
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    val queries = vec
+      .join(broadcast(queryIds.select(col("qid"))), col("vid") === col("qid"))
+      .select(col("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val qprobe = queries.crossJoin(broadcast(cent))
+      .withColumn("score",
+        arrayDot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") <= nPr)
+      .select(col("qid"), col("cid"))
+    qprobe.join(assigned, "cid")
+      .filter(col("vid") =!= col("qid"))
+      .join(vec, "vid")
+      .join(broadcast(queries), "qid")
+      .withColumn("cosine",
+        round(arrayDot(col("e"), col("qe")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vid").as("vec_id"), col("cosine"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide a
     * window of `w` consecutive gram hashes over the document, keep the

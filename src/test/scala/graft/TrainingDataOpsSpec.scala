@@ -121,6 +121,35 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(top.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("batched IVF probe: each query's top-k equals its single-query run") {
+    import spark.implicits._
+    def jig(i: Long, d: Int): Float = ((i * 31 + d * 7) % 5).toFloat / 100f
+    val vecs = (0L until 40L).map { i =>
+      val inA = i % 2 == 0
+      (i, Array.tabulate(16) { d =>
+        (if (inA == (d < 8)) 0.5f else 0.01f) + jig(i, d)
+      }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val qids = Seq(0L, 7L, 20L).toDF("qid")
+    val batch = TrainingDataOps.ivfBatchTopK(
+      df, "vec_id", qids, k = 4, nCentroids = Some(4), nProbe = Some(2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.map(_._1).distinct.sorted.toSeq == Seq(0L, 7L, 20L),
+      "every query answered")
+    for (q <- Seq(0L, 7L, 20L)) {
+      val single = TrainingDataOps.ivfTopK(
+        df, "vec_id", queryId = q, k = 4, nCentroids = Some(4), nProbe = Some(2))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = batch.filter(_._1 == q).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(mine.toSet == single.toSet,
+        s"batched result for query $q equals the single-query probe: $mine vs $single")
+    }
+  }
+
   test("IVF cell count derives toward √n when not pinned (two sizes)") {
     // the documented scale default (VERDICT r4 item 4)
     assert(TrainingDataOps.ivfDefaultCells(64L) == 8)
