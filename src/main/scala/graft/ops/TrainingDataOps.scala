@@ -1158,10 +1158,16 @@ object TrainingDataOps {
     import graft.expressions.ArrayDotFunctions.arrayDot
     import org.apache.spark.sql.expressions.Window
     val (nCells, nPr) = ivfParams(df, nCentroids, nProbe)
+    // persisted: the normed vector table anchors FIVE subtrees (cells,
+    // assignment scoring, query lookup, candidate join) — uncached,
+    // Catalyst inlines the scan+norm into each one and the plan pays
+    // multiple scans plus a codegen unit per copy (same bounded-lifetime
+    // contract as the shingle cache)
     val vec = df.select(
       col(idCol).as("vid"),
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(arrayDot(col("e"), col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cent = vec.filter(col("vid") >= 1 && col("vid") <= nCells)
       .select(col("vid").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
     val scored = vec.crossJoin(broadcast(cent))
@@ -1173,6 +1179,7 @@ object TrainingDataOps {
     val queries = vec
       .join(broadcast(queryIds.select(col("qid"))), col("vid") === col("qid"))
       .select(col("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qprobe = queries.crossJoin(broadcast(cent))
       .withColumn("score",
         arrayDot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
