@@ -202,11 +202,19 @@ object SparkEntry {
     // (validator.py:55-71); synthetic = even-orderkey half of the table.
     "v_corr_preserved" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // ONE aggregation pass computes both correlations (guide §1.2: the
+      // reference shape scanned lineitem twice and cross-joined two
+      // one-row aggregates). The synthetic half enters as null-conditional
+      // columns: covar_samp/stddev_samp skip null rows, so the
+      // even-orderkey sample — and its per-partition accumulation order —
+      // is identical to the filtered scan's.
+      val even = pmod(col("l_orderkey"), lit(2)) === 0
       val o = li.agg(
-        Validator.corrExpr(col("l_quantity"), col("l_extendedprice")).as("oc"))
-      val sy = li.filter(pmod(col("l_orderkey"), lit(2)) === 0).agg(
-        Validator.corrExpr(col("l_quantity"), col("l_extendedprice")).as("sc"))
-      o.crossJoin(sy).select(
+        Validator.corrExpr(col("l_quantity"), col("l_extendedprice")).as("oc"),
+        Validator.corrExpr(
+          when(even, col("l_quantity")),
+          when(even, col("l_extendedprice"))).as("sc"))
+      o.select(
         round(col("oc"), 6).as("original_correlation"),
         round(col("sc"), 6).as("synthetic_correlation"),
         round(abs(col("oc") - col("sc")), 6).as("delta"),

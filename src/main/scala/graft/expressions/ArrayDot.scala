@@ -123,32 +123,74 @@ object IvfAssignScan {
     }
     bestCid
   }
+
+  /** Double-vector variant (the untrained quantizer of ivfTopK /
+    * ivfBatchTopK works on raw double embeddings): same argmax and the
+    * same Double.compare NaN/tie discipline as `assign` — which is also
+    * exactly the lexicographic (score, −cid) ordering the replaced
+    * `max_by(cid, struct(score, -cid))` aggregate used (Spark's double
+    * ordering is java.lang.Double.compare: NaN greatest).
+    */
+  def assignD(qe: ArrayData, nrm: Double, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var bestScore = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val c = cents.getStruct(i, 3)
+      val cid = c.getLong(0)
+      val score = ArrayDotScan.dotDouble(qe, c.getArray(1)) / (nrm * c.getDouble(2))
+      val cmp = java.lang.Double.compare(score, bestScore)
+      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
+        bestScore = score
+        bestCid = cid
+      }
+      i += 1
+    }
+    bestCid
+  }
 }
 
-/** ivf_assign_cell(array<long> qe, double nrm,
-  * array<struct<cid:long, ce:array<long>, cnrm:double>> cents) -> long.
+/** ivf_assign_cell(array<T> qe, double nrm,
+  * array<struct<cid:long, ce:array<T>, cnrm:double>> cents) -> long,
+  * with T = bigint (quantized k-means path) or double (untrained
+  * quantizer path); dispatch is resolved at plan time from the input
+  * type, so each variant codegens a direct static call.
   */
 case class IvfAssignCell(first: Expression, second: Expression, third: Expression)
   extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  private lazy val isDoubleVec: Boolean = first.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (ArrayType(LongType, _), DoubleType,
+      case (ArrayType(et, _), DoubleType,
             ArrayType(org.apache.spark.sql.types.StructType(fields), _))
-          if fields.length == 3 && fields(0).dataType == LongType &&
-            fields(1).dataType.isInstanceOf[ArrayType] && fields(2).dataType == DoubleType =>
+          if (et == LongType || et == DoubleType) &&
+            fields.length == 3 && fields(0).dataType == LongType &&
+            (fields(1).dataType match {
+              case ArrayType(ce, _) => ce == et
+              case _ => false
+            }) && fields(2).dataType == DoubleType =>
         TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"ivf_assign_cell requires (array<bigint>, double, array<struct<bigint, array<bigint>, double>>), got $a, $b, $c")
+        s"ivf_assign_cell requires (array<T>, double, array<struct<bigint, array<T>, double>>) with T in {bigint, double}, got $a, $b, $c")
     }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(qe: Any, nrm: Any, cents: Any): Any =
-    IvfAssignScan.assign(
+  override protected def nullSafeEval(qe: Any, nrm: Any, cents: Any): Any = {
+    val fn: (ArrayData, Double, ArrayData) => Long =
+      if (isDoubleVec) IvfAssignScan.assignD else IvfAssignScan.assign
+    fn(
       qe.asInstanceOf[ArrayData],
       nrm.asInstanceOf[Double],
       cents.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) => s"graft.expressions.IvfAssignScan.assign($a, $b, $c)")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isDoubleVec) "assignD" else "assign"
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.expressions.IvfAssignScan.$m($a, $b, $c)")
+  }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): IvfAssignCell =
     copy(first = f, second = s, third = t)

@@ -96,6 +96,42 @@ object PolyHashScan {
       .fromPrimitiveArray(out)
   }
 
+  /** MinHash permutation constants (a_j·h + b_j mod P, j = 0..7) — the
+    * single source of truth shared with TrainingDataOps and restated by
+    * the DuckDB oracles.
+    */
+  val MhA: Array[Long] = Array(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
+  val MhB: Array[Long] = Array(17L, 29L, 43L, 59L, 71L, 83L, 97L, 113L)
+
+  /** All 8 MinHash signatures in ONE pass over the token-hash array.
+    * Replaces the 8 × `array_min(transform(__hs, h -> (a*h+b) % P))`
+    * formulation, which allocated 8 intermediate arrays and re-traversed
+    * the hash array once per signature. Values are identical:
+    * sig_j = min over h of (a_j·h + b_j) mod P (a·h+b ≤ 809·(P−1)+113
+    * fits a long; h ≥ 0 so % is the same non-negative remainder both
+    * formulations compute). Caller must handle the empty array (the old
+    * `array_min(empty)` yields NULL — MinHashSigs mirrors that by
+    * returning a null array, handled at the expression level).
+    */
+  def minhashSigs(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val out = new Array[Long](8)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 8) {
+        val v = (MhA(j) * h + MhB(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** 16-bit SimHash from a token-hash array in ONE pass: 16 sign counters
     * accumulated per hash (the round-1 formulation re-aggregated the array
     * once per bit — 16 interpreted HOF passes/doc, VERDICT r1 §wrong-3).
@@ -180,6 +216,37 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 }
 
+/** minhash_sigs(array<long>): all 8 MinHash signatures in one pass
+  * (ArrayType(LongType)). Yields NULL for an EMPTY input array, mirroring
+  * `array_min(transform(empty, ...))` = NULL in the formulation it
+  * replaces (TokenPolyHashes never produces an empty array, but the
+  * equivalence is kept airtight anyway).
+  */
+case class MinHashSigs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires array<long>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null else PolyHashScan.minhashSigs(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.PolyHashScan.minhashSigs($c);
+         |}""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
 /** Column-level constructors. */
 object PolyHashFunctions {
   def polyHash(c: Column): Column =
@@ -188,4 +255,6 @@ object PolyHashFunctions {
     CatalystBridge.column(TokenPolyHashes(CatalystBridge.expression(c)))
   def simHash16(c: Column): Column =
     CatalystBridge.column(SimHash16(CatalystBridge.expression(c)))
+  def minHashSigs(c: Column): Column =
+    CatalystBridge.column(MinHashSigs(CatalystBridge.expression(c)))
 }

@@ -137,22 +137,15 @@ object IceLite {
       lineage: DataLineage): Boolean = {
     if (isCommitted(root, batchId)) return false
     val stamped = df.withColumn("pid", spark_partition_id())
-    stamped.persist()
-    try {
-      val stats = stamped
-        .groupBy(col("pid"))
-        .agg(
-          count(lit(1)).as("n"),
-          min(col("conv_id")).as("cmin"),
-          max(col("conv_id")).as("cmax"))
-        .collect()
-        .map(r => PartitionManifest(
-          r.getAs[Int]("pid"), r.getAs[Long]("n"),
-          r.getAs[String]("cmin"), r.getAs[String]("cmax")))
-        .sortBy(_.pid)
-        .toSeq
-      commitStamped(stamped, root, batchId, lineage, stats)
-    } finally stamped.unpersist()
+    // ONE evaluation: write the data files, then read the per-partition
+    // stats (row counts, conv_id min/max, pid binding) from the written
+    // parquet FOOTERS driver-side — the same single-job commit the
+    // streaming sink runs (processBatch). The earlier formulation
+    // persisted the frame and ran a separate groupBy(pid) stats job
+    // before the write: two jobs + a cache entry per commit for stats the
+    // footers already carry.
+    val dir = writeData(stamped, root, batchId)
+    publish(root, batchId, lineage, footerStats(dir))
   }
 
   /** Write one batch's data files (invisible until `publish`). Returns the

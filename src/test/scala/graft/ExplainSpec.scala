@@ -102,6 +102,13 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("budget_select: threshold-bin prefix sum never plans a single-partition window") {
+    // the bin's running sum is sharded into ordered doc-id ranges (r6):
+    // an unpartitioned Window would shuffle the whole bin to ONE task
+    assert(!plan("budget_select").contains("SinglePartition"),
+      "threshold-bin window must be range-sharded, not single-partition")
+  }
+
   test("pack_blocks: one bucket-key shuffle, no global sort") {
     val p = plan("pack_blocks")
     assert(!p.contains("rangepartitioning"),

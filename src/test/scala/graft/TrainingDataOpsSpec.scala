@@ -365,6 +365,21 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 6L)) && out(0L) == ((4L, 4L)), s"score/tokens: $out")
   }
 
+  test("budget select: uniform-score corpus (whole corpus IS the threshold bin) " +
+      "selects the exact doc_id prefix across range shards") {
+    // 200 docs, all score 2 / 2 tokens — the degenerate case where the
+    // threshold bin is the ENTIRE corpus; ids are sparse (stride 7) so
+    // the 64 id-range shards are uneven. Budget 101 tokens keeps the
+    // first 50 docs (cum 100) and must cut exactly at the prefix even
+    // though the crossing shard is mid-corpus.
+    val docs = (0 until 200).map(i => (i * 7L, "t" + i + " u" + i))
+      .toDF("doc_id", "text")
+    val out = TrainingDataOps.budgetSelect(docs, 101L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (0 until 50).map(_ * 7L).toSeq,
+      s"prefix of 50 uniform-score docs expected, got ${out.length}: $out")
+  }
+
   test("source cap keeps the k lowest ids per source") {
     val docs = Seq(
       (5L, "a"), (1L, "a"), (3L, "a"), (2L, "b"), (9L, "b"))
