@@ -1108,16 +1108,24 @@ object TrainingDataOps {
         size(array_distinct(col("toks"))).cast("long").as("score"),
         size(col("toks")).cast("long").as("n_tokens"))
       .persist()
+    // histogram also carries each bin's doc-id range, so the threshold
+    // bin's shard geometry below needs NO extra job
     val hist = base.groupBy(col("score"))
-      .agg(sum(col("n_tokens")).as("toks")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+      .agg(sum(col("n_tokens")).as("toks"),
+        min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(-_._1)
     // walk desc to the first bin whose inclusive total crosses the budget
     var cum = 0L
     var threshold = Long.MinValue // everything fits
     var cumAbove = 0L
-    for ((score, t) <- hist if threshold == Long.MinValue) {
-      if (cum + t > budgetTokens) { threshold = score; cumAbove = cum }
-      else cum += t
+    var binLo = 0L
+    var binHi = 0L
+    for ((score, t, lo, hi) <- hist if threshold == Long.MinValue) {
+      if (cum + t > budgetTokens) {
+        threshold = score; cumAbove = cum; binLo = lo; binHi = hi
+      } else cum += t
     }
     if (threshold == Long.MinValue)
       base.select(col(idCol), col("score"), col("n_tokens"))
@@ -1130,34 +1138,32 @@ object TrainingDataOps {
       // same distinct-token score) makes the bin most of the corpus
       // (guide §2.5: a single giant partition no AQE rule can split).
       // Sharded form: the bin splits into ORDERED doc-id RANGE shards
-      // (order-preserving, unlike a hash bucket), each shard runs a
-      // partition-local window, and the driver turns the per-shard
-      // totals (a bounded, ≤ nShards-row collect over the persisted
-      // projection) into prefix offsets — global prefix sum ≡ local
-      // prefix + offset of all earlier shards. Result rows identical.
-      val bin = base.filter(col("score") === threshold)
-      val mm = bin.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-      val lo = mm.getLong(0)
-      val hi = mm.getLong(1)
+      // (order-preserving, unlike a hash bucket); each shard runs a
+      // partition-local running-sum window; the cross-shard offsets are
+      // a ≤ nShards-row aggregate whose prefix sum is a single-partition
+      // window over those AGGREGATE rows only (the driftDetectOnAgg
+      // discipline), broadcast-joined back — zero extra driver jobs vs
+      // the flat formulation. Global prefix ≡ local prefix + offset of
+      // all earlier shards, so the result rows are identical.
       val nShards = 64
-      val width = math.max(1L, (hi - lo) / nShards + 1)
+      val width = math.max(1L, (binHi - binLo) / nShards + 1)
       // integer DIV, not fractional-`/`+floor: exact at any id magnitude
-      val shardCol = expr(s"(CAST($idCol AS BIGINT) - ${lo}L) DIV ${width}L")
-      val totals = bin.groupBy(shardCol.as("__shard"))
-        .agg(sum(col("n_tokens")).as("t")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-      var runningOff = cumAbove
-      val offsets = totals.map { case (sid, t) =>
-        val o = (sid, runningOff); runningOff += t; o
-      }
-      val offCol = offsets.foldLeft(lit(cumAbove)) { case (acc, (sid, o)) =>
-        when(col("__shard") === sid, lit(o)).otherwise(acc)
-      }
+      val shardCol = expr(s"(CAST($idCol AS BIGINT) - ${binLo}L) DIV ${width}L")
+      val bin = base.filter(col("score") === threshold)
+        .withColumn("__shard", shardCol)
+      val offW = Window.orderBy(col("__shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = bin.groupBy(col("__shard"))
+        .agg(sum(col("n_tokens")).as("__t"))
+        .withColumn("__off",
+          coalesce(sum(col("__t")).over(offW), lit(0L)) + cumAbove)
+        .select(col("__shard"), col("__off"))
       val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val partial = bin.withColumn("__shard", shardCol)
-        .withColumn("cum", sum(col("n_tokens")).over(w) + offCol)
-        .filter(col("cum") <= budgetTokens)
+      val partial = bin
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .join(broadcast(offs), "__shard")
+        .filter(col("cum") + col("__off") <= budgetTokens)
       base.filter(col("score") > threshold)
         .select(col(idCol), col("score"), col("n_tokens"))
         .unionAll(partial.select(col(idCol), col("score"), col("n_tokens")))

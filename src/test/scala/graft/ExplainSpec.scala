@@ -102,11 +102,15 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
-  test("budget_select: threshold-bin prefix sum never plans a single-partition window") {
+  test("budget_select: threshold-bin prefix sum shards the data rows") {
     // the bin's running sum is sharded into ordered doc-id ranges (r6):
-    // an unpartitioned Window would shuffle the whole bin to ONE task
-    assert(!plan("budget_select").contains("SinglePartition"),
-      "threshold-bin window must be range-sharded, not single-partition")
+    // an unpartitioned Window over DATA rows would shuffle the whole bin
+    // to one task. The only single-partition window allowed is the
+    // ≤ nShards-row cross-shard offsets prefix (aggregates, not rows).
+    val p = plan("budget_select")
+    if (p.contains("Window"))
+      assert(p.contains("hashpartitioning(__shard"),
+        s"threshold-bin data window must be shard-partitioned: $p")
   }
 
   test("pack_blocks: one bucket-key shuffle, no global sort") {
