@@ -257,6 +257,22 @@ object DedupState {
     * min-(ts, conv_id, turn_idx)-per-bucket — the deterministic
     * reference the stream≡batch test compares against.
     *
+    * KNOWN STREAMING LIMITATION (ADVICE r5, documented contract): within
+    * one micro-batch the per-band first-arrival winners are chosen
+    * independently per bucket, so two SAME-BATCH rows sharing all 4
+    * bands (a same-batch near-dup family) can split the band wins and
+    * lose ALL members — the keep-one-canonical guarantee holds across
+    * batches but only at-most-one within a batch (never a false keep;
+    * pinned by the same-batch spec case). The batch reference is immune
+    * (deterministic min rule). Deployments needing exactly-one within a
+    * batch run `dedupRows` (exact, deterministic) upstream — exact
+    * same-batch replays then never reach this operator — or
+    * pre-aggregate each epoch to the min row per bucket in foreachBatch.
+    * Token-LESS rows (null text) carry no LSH signal and BYPASS
+    * suppression entirely (emitted unconditionally): their null band
+    * signatures would otherwise collapse all null-text rows into one
+    * bucket family (null keys compare equal in the dedup state).
+    *
     * Scale shape: state is 4 fixed-width keys per UNIQUE in-horizon row
     * (near-dups add nothing), hash-spread over all partitions by the
     * band-bucket shuffle; the windowed count shuffles the surviving
@@ -274,7 +290,10 @@ object DedupState {
       struct(lit(b).as("band"),
         sig(2 * b).as("sig_a"), sig(2 * b + 1).as("sig_b"))
     }: _*)
-    val exploded = df
+    // token-less rows bypass suppression (see scaladoc)
+    val nullText = df.filter(col("text").isNull)
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+    val exploded = df.filter(col("text").isNotNull)
       .withColumn("__hs", tokenPolyHashes(col("text")))
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"),
         explode(bands).as("bb"))
@@ -300,6 +319,7 @@ object DedupState {
       .agg(count(lit(1)).as("__bands"), min(col("ts")).as("ts"))
       .filter(col("__bands") === 4)
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+      .unionByName(nullText)
   }
 
   /** Append-mode dedup stage. Input must already carry an event-time

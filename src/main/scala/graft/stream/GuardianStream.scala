@@ -113,7 +113,16 @@ object GuardianStream {
       // Counter merge is exact long addition (order-free), so the merged
       // sketch — and its compaction — is independent of epoch
       // boundaries. Must not change across restarts of one sink.
-      cmsW: Option[Int] = None)
+      cmsW: Option[Int] = None) {
+    // The monitors RIDE the quality sink's observe(): configuring them
+    // with the quality sink disabled used to silently publish nothing
+    // (ADVICE r5) — fail at construction instead.
+    require(
+      qualityWindow.nonEmpty ||
+        (vocabK.isEmpty && diversityM.isEmpty && cmsW.isEmpty),
+      "vocabK/diversityM/cmsW ride the quality sink: set qualityWindow " +
+        "or unset the monitors")
+  }
 
   /** The per-batch text-length spec driving the micro-batch validation
     * report (the streaming analog of validate_dataset's fixed ranges,
@@ -459,8 +468,14 @@ object GuardianStream {
     val (latest, residual) = qualitySources(root)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val acc = new java.util.HashMap[String, Array[Long]]()
+    // same mid-stream guard as the diversity/CMS folds (ADVICE r5): a
+    // vocabK change across restarts would silently mix prune thresholds
+    // (and undercount bounds) in one fold
+    var k0 = -1
     def fold(path: java.nio.file.Path): Unit =
       vocabOf(mapper, path).foreach { case (k, partial) =>
+        if (k0 < 0) k0 = k
+        else require(k == k0, s"vocab k changed mid-stream: $k vs $k0")
         graft.expressions.MgBuffer.foldStringPartial(acc, partial, k)
       }
     latest.foreach(u => fold(compactQualityPath(root, u)))
@@ -769,7 +784,11 @@ object GuardianStream {
     var vocabK = 0
     def vfold(path: java.nio.file.Path): Unit =
       vocabOf(mapper, path).foreach { case (k, partial) =>
-        vocabK = k
+        // same mid-stream guard as dfold/cfold (ADVICE r5): a vocabK
+        // change would silently mix MG prune thresholds and become
+        // durable in the compacted manifest
+        if (vocabK == 0) vocabK = k
+        else require(k == vocabK, s"vocab k changed mid-stream: $k vs $vocabK")
         graft.expressions.MgBuffer.foldStringPartial(vacc, partial, k)
       }
     // Diversity bitmaps fold by OR — order-free, trivially lossless

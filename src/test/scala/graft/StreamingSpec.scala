@@ -150,6 +150,39 @@ class StreamingSpec extends SparkSpec {
     assert(!kept("c4") && !kept("c5"), s"cross-batch exact dups suppressed: $kept")
   }
 
+  test("near-dup rows: null-text bypass; same-batch family keeps at most one (ADVICE r5)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def turn(conv: String, text: String, sec: Long) =
+      Turn(conv, 0, "user", text, "",
+        new java.sql.Timestamp(t0.getTime + sec * 1000L))
+    // token-less rows (null text) carry no LSH signal — both must pass
+    // through unconditionally instead of collapsing via null band keys
+    val rows = Seq(
+      turn("n0", null, 0), turn("n1", null, 10),
+      // a SAME-batch near-dup family (identical text = all 4 bands equal)
+      turn("f0", "the quick brown fox jumps over the lazy dog tonight", 20),
+      turn("f1", "the quick brown fox jumps over the lazy dog tonight", 30),
+      turn("u0", "completely unrelated content about query engines", 40))
+    val batch = DedupState.nearDupRows(rows.toDF)
+      .select("conv_id").collect().map(_.getString(0)).toSet
+    // batch reference is deterministic: min-(ts,conv,turn) wins the family
+    assert(batch == Set("n0", "n1", "f0", "u0"), s"batch: $batch")
+    // streaming same-FILE family: winners per band are arrival-order and
+    // can split (documented contract) — never more than one survivor,
+    // null-text rows always emitted
+    val src = tmp("neardup2-src")
+    val sentinel = Seq(turn("c9", "sentinel far future row", 100000L))
+    writeBatches(src, Seq(rows.toDF, sentinel.toDF))
+    val out = runFileStream(src, tmp("neardup2-ck"),
+      ds => DedupState.nearDupRows(ds.toDF), "neardup2_out",
+      watermarkDelay = "1 minute")
+    val got = out.filter(col("conv_id") =!= "c9")
+      .select("conv_id").collect().map(_.getString(0)).toSet
+    assert(got("n0") && got("n1") && got("u0"), s"bypass + unrelated kept: $got")
+    assert(!(got("f0") && got("f1")), s"family must keep at most one: $got")
+  }
+
   test("quality windows land in the audit sink and merge to the batch aggregation") {
     import graft.validate.Validator
     val spec = TranscriptSpec(nConvs = 8, turnsPerConv = 16, seed = 34,
