@@ -179,14 +179,17 @@ case class IvfAssignCell(first: Expression, second: Expression, third: Expressio
     }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(qe: Any, nrm: Any, cents: Any): Any = {
-    val fn: (ArrayData, Double, ArrayData) => Long =
-      if (isDoubleVec) IvfAssignScan.assignD else IvfAssignScan.assign
-    fn(
-      qe.asInstanceOf[ArrayData],
-      nrm.asInstanceOf[Double],
-      cents.asInstanceOf[ArrayData])
-  }
+  override protected def nullSafeEval(qe: Any, nrm: Any, cents: Any): Any =
+    // direct static dispatch — no per-call closure (interpreted eval
+    // sits in the Lloyd-iteration hot path when codegen falls back)
+    if (isDoubleVec)
+      IvfAssignScan.assignD(
+        qe.asInstanceOf[ArrayData], nrm.asInstanceOf[Double],
+        cents.asInstanceOf[ArrayData])
+    else
+      IvfAssignScan.assign(
+        qe.asInstanceOf[ArrayData], nrm.asInstanceOf[Double],
+        cents.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (isDoubleVec) "assignD" else "assign"
     defineCodeGen(ctx, ev, (a, b, c) => s"graft.expressions.IvfAssignScan.$m($a, $b, $c)")

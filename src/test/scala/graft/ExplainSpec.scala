@@ -102,15 +102,21 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
-  test("budget_select: threshold-bin prefix sum shards the data rows") {
-    // the bin's running sum is sharded into ordered doc-id ranges (r6):
-    // an unpartitioned Window over DATA rows would shuffle the whole bin
-    // to one task. The only single-partition window allowed is the
-    // ≤ nShards-row cross-shard offsets prefix (aggregates, not rows).
-    val p = plan("budget_select")
-    if (p.contains("Window"))
-      assert(p.contains("hashpartitioning(__shard"),
-        s"threshold-bin data window must be shard-partitioned: $p")
+  test("budgetSelect: an over-cutoff threshold bin shards the data-row window") {
+    // above shardRowsCutoff the bin's running sum must be range-sharded
+    // (r6): an unpartitioned Window over DATA rows would shuffle the
+    // whole bin to one task. The only single-partition window allowed is
+    // the ≤ nShards-row cross-shard offsets prefix (aggregates, not
+    // rows). cutoff 0 forces the big-bin path at any fixture size.
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"a$i b$i c$i"))
+      .toDF("doc_id", "text")
+    val p = graft.ops.TrainingDataOps
+      .budgetSelect(docs, 60L, shardRowsCutoff = 0L)
+      .queryExecution.executedPlan.toString()
+    spark.catalog.clearCache()
+    assert(p.contains("hashpartitioning(__shard"),
+      s"threshold-bin data window must be shard-partitioned: $p")
   }
 
   test("pack_blocks: one bucket-key shuffle, no global sort") {

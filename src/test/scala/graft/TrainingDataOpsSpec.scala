@@ -374,10 +374,15 @@ class TrainingDataOpsSpec extends SparkSpec {
     // though the crossing shard is mid-corpus.
     val docs = (0 until 200).map(i => (i * 7L, "t" + i + " u" + i))
       .toDF("doc_id", "text")
-    val out = TrainingDataOps.budgetSelect(docs, 101L)
+    // cutoff 0 forces the SHARDED path (the default flat path is the
+    // bounded-bin case); both must select the identical prefix
+    val sharded = TrainingDataOps.budgetSelect(docs, 101L, shardRowsCutoff = 0L)
       .collect().map(_.getLong(0)).sorted.toSeq
-    assert(out == (0 until 50).map(_ * 7L).toSeq,
-      s"prefix of 50 uniform-score docs expected, got ${out.length}: $out")
+    val flat = TrainingDataOps.budgetSelect(docs, 101L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sharded == (0 until 50).map(_ * 7L).toSeq,
+      s"prefix of 50 uniform-score docs expected, got ${sharded.length}: $sharded")
+    assert(flat == sharded, "flat and sharded paths must agree")
   }
 
   test("source cap keeps the k lowest ids per source") {
