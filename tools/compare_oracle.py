@@ -20,9 +20,11 @@ def load(sf_dir, out_dir, names):
     con = duckdb.connect()
     for t in ["lineitem", "customer", "orders", "events", "documents",
               "embeddings", "part", "supplier", "nation", "region"]:
+        import os
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     failures = []
     for name in sorted(names or oracle.keys()):
         if name not in oracle:
