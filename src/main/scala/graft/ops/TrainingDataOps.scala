@@ -766,21 +766,33 @@ object TrainingDataOps {
   }
 
   /** Per-source document cap: keep at most `k` documents per source,
-    * priority by ascending id (deterministic). The classic web-corpus
-    * domain cap. Scale shape: one shuffle on the source key + a
-    * per-source sort that the rank filter truncates at k; source
-    * cardinality is domain-sized (large), so partitions stay balanced —
-    * an adversarial mega-domain is pre-prunable with a hash-sample
-    * threshold stage before the window, not needed at fixture scale.
+    * priority by ascending NUMERIC id (deterministic; ids are assumed
+    * unique per source — the same contract the row_number formulation
+    * needed for a deterministic result). The classic web-corpus domain
+    * cap.
+    *
+    * Scale shape: a bounded min-k AGGREGATE (`MinKLongsAgg`, O(k) state,
+    * map-side combinable) replaces `row_number() over (partition by
+    * source order by id) <= k` — no per-partition sort, and an
+    * adversarial mega-domain (the 10^9-doc crawl host) ships at most
+    * k ids per map task into the shuffle instead of collecting its whole
+    * row set in one window partition. (Spark's WindowGroupLimit already
+    * bounded the windowed plan's shuffle to k rows per (map partition,
+    * source) but still paid a full sort of every map partition and a
+    * reduce-side sort; the aggregate pays a heap insert per row and no
+    * sorts.) The rank is re-derived by exploding the ascending k-array.
+    * NULL ids are skipped (they define no rank).
     */
   def sourceCap(
       docs: DataFrame, k: Int, sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(sourceCol).orderBy(idCol)
-    docs.select(col(idCol), col(sourceCol))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    docs
+      .groupBy(col(sourceCol))
+      .agg(graft.expressions.MinKLongsAgg.minK(
+        col(idCol).cast("long"), k).as("__ids"))
+      .select(col(sourceCol), posexplode(col("__ids")))
+      .select(col("col").as(idCol), col(sourceCol),
+        (col("pos") + 1).cast("long").as("rn"))
   }
 
   /** The composite corpus CURATION decision — the query a pipeline runs
@@ -796,6 +808,30 @@ object TrainingDataOps {
     * `dupKeep` optionally supplies an already-computed `nearDupClusters`
     * verdict (columns doc_id, keep) so a pipeline that ALSO materializes
     * the cluster table — the normal case — pays the LSH pass once.
+    *
+    * Cap-stage scale shape (the hot-domain guard): with a MATERIALIZED
+    * `dupKeep` the per-source running-sum window — whose mega-domain
+    * partition is the one skewed single-task sort in the op — is
+    * replaced by a bounded min-(cap+1) aggregate over the cap-eligible
+    * rows: the (cap+1)-th smallest eligible doc_id per source is the
+    * exact cap threshold (rows below it are under the cap), so the
+    * decision becomes a per-row comparison after a source-keyed join
+    * (broadcast when the source table is small; AQE-skew-splittable
+    * otherwise — windows have no skew mitigation at all). The staging
+    * projection is evaluated twice (once for the threshold aggregate,
+    * once for the verdict rows), which is linear scan-bound work; with
+    * `dupKeep = None` that second evaluation would re-run the whole LSH
+    * pipeline, so the single-evaluation window plan is kept on that path
+    * (its skew caveat documented here): at scale, materialize the dup
+    * verdict first — the normal pipeline case.
+    *
+    * Exactness of the threshold form (ids unique per source, the same
+    * determinism contract the window form needed): cum(r) <= cap
+    * <=> fewer than cap+1 eligible ids are <= r.id
+    * <=> |ids| <= cap OR r.id < ids[cap+1]; `retain = pass3 && under`
+    * and the `source_cap` reason branch `!under` reproduce the window
+    * form's three-valued logic exactly (`under` is never NULL, `pass3`
+    * may be NULL on NULL lang — same as before).
     */
   def corpusRetain(
       docs: DataFrame, keepLangs: Seq[String], minTokens: Int,
@@ -814,17 +850,33 @@ object TrainingDataOps {
         col("lang").isin(keepLangs: _*).as("lang_ok"),
         col("n_tokens").between(minTokens, maxTokens).as("quality_ok"))
     val pass3 = col("dup_ok") && col("lang_ok") && col("quality_ok")
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    staged
-      .withColumn("cum", sum(when(pass3, 1L).otherwise(0L)).over(w))
-      .select(col("doc_id"), col("lang"), col("source"),
+    def verdict(underCap: Column, overCap: Column): Seq[Column] =
+      Seq(col("doc_id"), col("lang"), col("source"),
         col("dup_ok"), col("lang_ok"), col("quality_ok"),
-        (pass3 && col("cum") <= capPerSource).as("retain"),
+        (pass3 && underCap).as("retain"),
         when(!col("dup_ok"), "dup")
           .when(!col("lang_ok"), "lang")
           .when(!col("quality_ok"), "quality")
-          .when(col("cum") > capPerSource, "source_cap")
+          .when(overCap, "source_cap")
           .otherwise("retained").as("reason"))
+    if (dupKeep.isDefined) {
+      val bound = capPerSource + 1
+      val thr = staged.filter(pass3)
+        .groupBy(col("source"))
+        .agg(graft.expressions.MinKLongsAgg.minK(
+          col("doc_id"), bound).as("__ids"))
+      val under = when(col("__ids").isNull, lit(true))
+        .when(size(col("__ids")) <= capPerSource, lit(true))
+        .otherwise(col("doc_id") < element_at(col("__ids"), bound))
+      staged.join(thr, Seq("source"), "left")
+        .select(verdict(under, !under): _*)
+    } else {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val cum = col("cum")
+      staged
+        .withColumn("cum", sum(when(pass3, 1L).otherwise(0L)).over(w))
+        .select(verdict(cum <= capPerSource, cum > capPerSource): _*)
+    }
   }
 
   /** Per-position n-gram hashes from the single-pass per-token hash

@@ -119,6 +119,24 @@ class ExplainSpec extends SparkSpec {
       s"threshold-bin data window must be shard-partitioned: $p")
   }
 
+  test("source_cap: bounded min-k aggregate, no window, no sort") {
+    // (r6) the per-source cap is a bounded aggregate — a mega-domain
+    // ships <= k ids per map task; a Window/Sort here is the skewed
+    // single-task sort coming back
+    val p = plan("source_cap")
+    assert(!p.contains("Window"), s"cap must not plan a window: $p")
+    assert(!p.contains("Sort "), s"cap must not sort: $p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"min-k aggregate must drive the cap: $p")
+  }
+
+  test("corpus_retain: materialized-dup path plans no per-source window") {
+    // (r6) the cap stage is the min-(cap+1) threshold join; the
+    // running-sum window over data rows (single mega-domain task) is gone
+    val p = plan("corpus_retain")
+    assert(!p.contains("Window"), s"cap stage must not plan a window: $p")
+  }
+
   test("pack_blocks: one bucket-key shuffle, no global sort") {
     val p = plan("pack_blocks")
     assert(!p.contains("rangepartitioning"),

@@ -395,6 +395,70 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("source cap: bounded aggregate equals the row_number restatement on a skewed corpus") {
+    // one mega source (5000 docs, non-contiguous ids) + a tiny one: the
+    // aggregate plan must reproduce the windowed rank exactly.
+    val docs = ((0 until 5000).map(i => (i.toLong * 3 + 1, "mega")) ++
+      Seq((20000L, "tiny"), (20001L, "tiny"))).toDF("doc_id", "source")
+    docs.createOrReplaceTempView("sc_docs")
+    val out = TrainingDataOps.sourceCap(docs, k = 22)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = spark.sql(
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM sc_docs) WHERE rn <= 22""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == expected, "aggregate plan must equal the windowed rank")
+    assert(out.count(_._2 == "mega") == 22 && out.count(_._2 == "tiny") == 2)
+  }
+
+  test("corpus retain: threshold path equals the window restatement incl. mega source and NULL lang") {
+    // hot source with 200 cap-eligible docs (cap 5), a dup-dropped doc,
+    // NULL-lang rows planted BELOW and ABOVE the cap threshold (the
+    // three-valued edge: retain NULL + 'retained' below, false +
+    // 'source_cap' above), and a cold source.
+    val rows = (0 until 200).map(i =>
+      (100L + i, s"tok$i alpha beta gamma", "en", "hot")) ++ Seq(
+      (99L, "omega psi chi phi", null.asInstanceOf[String], "hot"),
+      (500L, "upsilon rho sigma tau", null.asInstanceOf[String], "hot"),
+      (501L, "uno dos tres cuatro", "en", "cold"),
+      (502L, "tiny", "en", "cold"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+    val dupTbl = Seq((100L, false), (501L, true)).toDF("doc_id", "keep")
+    docs.createOrReplaceTempView("cr_docs")
+    dupTbl.createOrReplaceTempView("cr_dup")
+    val out = TrainingDataOps.corpusRetain(docs, keepLangs = Seq("en"),
+      minTokens = 3, maxTokens = 50, capPerSource = 5, dupKeep = Some(dupTbl))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "materialized-dupKeep path must not plan a per-source window")
+    val expected = spark.sql(
+      """WITH staged AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |    coalesce(p.keep, TRUE) AS dup_ok,
+        |    d.lang IN ('en') AS lang_ok,
+        |    size(split(trim(d.text), '\\s+')) BETWEEN 3 AND 50 AS quality_ok
+        |  FROM cr_docs d LEFT JOIN cr_dup p USING (doc_id)),
+        |cum AS (
+        |  SELECT *, sum(CASE WHEN dup_ok AND lang_ok AND quality_ok
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM staged)
+        |SELECT doc_id, lang, source, dup_ok, lang_ok, quality_ok,
+        |  (dup_ok AND lang_ok AND quality_ok AND cum <= 5) AS retain,
+        |  CASE WHEN NOT dup_ok THEN 'dup' WHEN NOT lang_ok THEN 'lang'
+        |    WHEN NOT quality_ok THEN 'quality'
+        |    WHEN cum > 5 THEN 'source_cap'
+        |    ELSE 'retained' END AS reason FROM cum""".stripMargin)
+    assert(out.collect().toSet == expected.collect().toSet,
+      "threshold path must equal the window restatement row-for-row")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(99L).isNullAt(6) && byId(99L).getString(7) == "retained",
+      "NULL-lang row under the cap keeps retain=NULL + 'retained'")
+    assert(!byId(500L).isNullAt(6) && !byId(500L).getBoolean(6) &&
+      byId(500L).getString(7) == "source_cap",
+      "NULL-lang row past the threshold is false + 'source_cap'")
+  }
+
   test("corpus retain: each stage drops its planted doc with the right reason") {
     // base near-dup fixture docs 0/1/6 cluster (keep = 0); add a zh doc,
     // a too-short doc, and enough passing docs on one source to trip a
