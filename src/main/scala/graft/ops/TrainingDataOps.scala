@@ -1754,9 +1754,24 @@ object TrainingDataOps {
     * Scale shape: ONE persisted signature pass feeds both the band
     * pairing and the per-pair agreement join; the exact side touches
     * candidates only.
+    *
+    * CACHE CONTRACT: same as `ngramJaccard` — the result references
+    * persisted intermediates that live until `clearCache()` (what
+    * Bench/Verify run between queries); long-lived sessions should use
+    * `minhashJaccardEstimateCached` and unpersist the returned handles
+    * once the result is consumed (VERDICT r5 missing #5).
     */
   def minhashJaccardEstimate(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    minhashJaccardEstimateCached(docs, idCol, textCol)._1
+
+  /** As `minhashJaccardEstimate`, but also returns the persisted
+    * intermediates (signature table, candidate-estimate table, shingle
+    * table) so the caller can `.foreach(_.unpersist())` deterministically.
+    */
+  def minhashJaccardEstimateCached(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Seq[DataFrame]) = {
     val sigs = minhashSignatures(docs.select(col(idCol), col(textCol)), textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshPairsFromSigs(sigs, idCol)
@@ -1774,10 +1789,13 @@ object TrainingDataOps {
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / 8.0d).as("jac_est"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ngramJaccard(docs.select(col(idCol), col(textCol)), est, idCol, textCol)
+    val (exact, shingles) =
+      ngramJaccardCached(docs.select(col(idCol), col(textCol)), est, idCol, textCol)
+    val res = exact
       .join(est, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("jac_est"), col("jaccard"),
         round(abs(col("jac_est") - col("jaccard")), 5).as("abs_err"))
+    (res, Seq(sigs, est, shingles))
   }
 
   /** Cardinality-sketch audit: per-stratum distinct token-n-gram count,

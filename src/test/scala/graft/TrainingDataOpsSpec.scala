@@ -901,6 +901,22 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash jaccard estimate: cached handles release every persisted intermediate") {
+    // start from a clean cache: a plan-identical persist from another
+    // test would be REUSED by the CacheManager and shared entries would
+    // confound the release accounting below
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (res, handles) = TrainingDataOps.minhashJaccardEstimateCached(base)
+    res.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the audit persists its intermediates while live")
+    assert(handles.size == 3, "sigs + est + shingles handles")
+    handles.foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "unpersisting the returned handles releases every cache entry")
+  }
+
   test("gram cardinality: exact/occupied/estimate match a driver-side model; saturation reports -1") {
     val docs = base.withColumn("lang", lit("xx"))
       .select(col("lang"), col("text"))
