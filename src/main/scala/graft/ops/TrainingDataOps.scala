@@ -1789,8 +1789,19 @@ object TrainingDataOps {
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / 8.0d).as("jac_est"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (exact, shingles) =
-      ngramJaccardCached(docs.select(col(idCol), col(textCol)), est, idCol, textCol)
+    // the exact-verify side shingles CANDIDATE docs only: est is already
+    // persisted, so the semi-join prune re-reads the cache instead of
+    // re-evaluating the band pipeline (the generic ngramJaccard boundary
+    // cannot assume that). Non-candidate rows never survive the inner
+    // id_a/id_b joins, so the result is identical; at fixture scale
+    // candidates are ~22% of the corpus, at 100 TB a vanishing fraction
+    // — the shingle pass (the verify stage's dominant cost) shrinks with
+    // the candidate set instead of the corpus.
+    val candIds = est.select(col("id_a").as(idCol))
+      .unionByName(est.select(col("id_b").as(idCol)))
+    val candDocs = docs.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+    val (exact, shingles) = ngramJaccardCached(candDocs, est, idCol, textCol)
     val res = exact
       .join(est, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("jac_est"), col("jaccard"),
