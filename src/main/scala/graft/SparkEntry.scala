@@ -548,8 +548,7 @@ object SparkEntry {
     // verify stage); the oracle restates all three stages.
     "dedup_lsh_verified" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val pairs = graft.ops.TrainingDataOps.minhashLshPairs(docs, "doc_id")
-      graft.ops.TrainingDataOps.ngramJaccard(docs, pairs, "doc_id")
+      graft.ops.TrainingDataOps.lshVerifiedJaccard(docs, "doc_id")
         .filter(col("jaccard") >= 0.5)
     }),
 

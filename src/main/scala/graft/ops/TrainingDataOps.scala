@@ -73,6 +73,27 @@ object TrainingDataOps {
       maxBucketSize: Int = 64): DataFrame =
     lshPairsFromSigs(minhashSignatures(df, textCol), idCol, maxBucketSize)
 
+  /** LSH candidates verified by exact n-gram Jaccard — the composed
+    * discovery + verify stage (`dedup_lsh_verified`, and the front of
+    * `nearDupClusters`). The candidate PAIR table is persisted (bounded
+    * by the bucket cap) so that (a) the band pipeline is evaluated once
+    * although the pair set is consumed twice (candidate-id prune +
+    * verify join), and (b) the shingle pass — the verify stage's
+    * dominant per-row cost — runs over CANDIDATE docs only via a
+    * semi-join prune, not the whole corpus (guide §3.2; candidates are
+    * a vanishing fraction of a real crawl). Same session-cache contract
+    * as the shingle table (Bench/Verify clearCache between queries).
+    */
+  def lshVerifiedJaccard(docs: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    val pairs = minhashLshPairs(d, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+    ngramJaccard(d.join(candIds, Seq(idCol), "left_semi"), pairs, idCol, textCol)
+  }
+
   /** LSH band pairing over an ALREADY-computed signature table — lets
     * callers that need the signatures again (estimate audits) persist
     * one signature pass and reuse it on both sides.
@@ -626,8 +647,7 @@ object TrainingDataOps {
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String = "text",
       threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol)
-    val verified = ngramJaccard(docs, pairs, idCol, textCol)
+    val verified = lshVerifiedJaccard(docs, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     val labels = connectedComponents(verified)
