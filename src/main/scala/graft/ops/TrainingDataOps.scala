@@ -1496,6 +1496,14 @@ object TrainingDataOps {
       .join(refBuckets, Seq("band", "s1", "s2"))
       .select(col(idCol).as("id_a"), explode(col("ref_ids")).as("id_b"))
       .distinct()
+    // Candidate-prune of the shingle side (the #16/#17 pattern) was
+    // A/B'd here and REJECTED by measurement: persisting the pair table
+    // and semi-joining both corpora cost +0.4 s warm at sf0.1/32T
+    // (1.39 vs 0.95 s same-window, controls flat) — the two-corpus
+    // candidate subtree is heavier to materialize than the shingle pass
+    // it saves at this payload. At deployment scale the ref side is a
+    // pre-banded SNAPSHOT (see the scaladoc above): the prune belongs in
+    // that materialized form, not in this one-shot plan.
     ngramJaccard(
       newDocs.select(col(idCol), col(textCol))
         .unionByName(refDocs.select(col(idCol), col(textCol))),
