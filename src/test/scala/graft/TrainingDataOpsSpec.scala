@@ -413,6 +413,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out.count(_._2 == "mega") == 22 && out.count(_._2 == "tiny") == 2)
   }
 
+  test("min-k heap buffer: k=1, duplicates, rejection, merge and ser/deser round-trip") {
+    import graft.expressions.MinKHeap
+    // k=1 keeps the single minimum
+    val b1 = MinKHeap.create(1)
+    Seq(5L, 3L, 9L, 3L).foreach(MinKHeap.add(b1, 1, _))
+    assert(b1.n == 1 && b1.heap(0) == 3L)
+    // duplicates are separate entries (multiset = first k of a sort);
+    // values >= a full buffer's max are rejected
+    val b2 = MinKHeap.create(3)
+    Seq(7L, 7L, 9L, 7L, 8L).foreach(MinKHeap.add(b2, 3, _))
+    assert(java.util.Arrays.copyOf(b2.heap, b2.n).sorted.toSeq == Seq(7L, 7L, 7L))
+    // deserialized buffers keep accepting inserts (grow path) and merge
+    // like the originals
+    val b3 = MinKHeap.deser(MinKHeap.ser(MinKHeap.create(4)))
+    Seq(10L, 2L).foreach(MinKHeap.add(b3, 4, _))
+    val b4 = MinKHeap.deser(MinKHeap.ser(b3))
+    MinKHeap.add(b4, 4, 6L)
+    MinKHeap.merge(b4, 4, b2)
+    assert(java.util.Arrays.copyOf(b4.heap, b4.n).sorted.toSeq == Seq(2L, 6L, 7L, 7L),
+      "merge keeps the 4 smallest across both buffers")
+  }
+
   test("corpus retain: threshold path equals the window restatement incl. mega source and NULL lang") {
     // hot source with 200 cap-eligible docs (cap 5), a dup-dropped doc,
     // NULL-lang rows planted BELOW and ABOVE the cap threshold (the
